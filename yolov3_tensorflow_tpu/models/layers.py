@@ -1,0 +1,157 @@
+"""Pure-functional NHWC conv / batch-norm / upsample building blocks.
+
+TPU-native equivalent of the reference layer library
+(/root/reference/utils/layer_utils.py): every layer is a pure function of an
+explicit parameter pytree, NHWC layout, convs computed in bf16 on the MXU with
+fp32 accumulation, batch-norm statistics kept in fp32. No framework layer
+classes — parameters are plain nested dicts so that sharding, checkpointing
+and the darknet weight importer can address them by path.
+
+Conv padding parity note: the reference uses explicit symmetric "fixed"
+padding for stride-2 convs (layer_utils.py:10-19) and SAME for stride-1
+(layer_utils.py:21); for the odd kernel sizes used (1, 3) both reduce to
+symmetric (k-1)//2 padding, which is what `conv2d` below applies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+_DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jax.Array, w: jax.Array, stride: int = 1,
+           compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """2-D convolution, NHWC x HWIO -> NHWC, fp32 accumulation on the MXU."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    return lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def batch_norm(y: jax.Array, p: Params, s: Params, *,
+               train: bool, momentum: float = 0.99, eps: float = 1e-5,
+               axis_name: Optional[str] = None,
+               ) -> Tuple[jax.Array, Params]:
+    """Batch normalization in fp32.
+
+    Parity with the reference's slim.batch_norm config (model.py:35-41):
+    decay (here `momentum`) 0.99, epsilon 1e-5, scale=True, center=True.
+
+    When `axis_name` is set and we are inside a `shard_map`/`pmap`, batch
+    moments are averaged across that mesh axis — cross-replica sync BN, the
+    TPU answer to the reference's "multi-GPUs with sync batch norm" TODO
+    (README.md:210).
+
+    Returns (normalized activations, updated moving statistics).
+    """
+    y = y.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(y), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            mean_sq = lax.pmean(mean_sq, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        new_s = {
+            "mean": momentum * s["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * s["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = lax.rsqrt(var + eps) * p["gamma"]
+    out = (y - mean) * inv + p["beta"]
+    return out, new_s
+
+
+def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
+    """LeakyReLU(0.1) — the activation on every BN conv (model.py:48)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def conv_bn_leaky(x: jax.Array, p: Params, s: Params, *,
+                  stride: int = 1, train: bool = False,
+                  momentum: float = 0.99, eps: float = 1e-5,
+                  compute_dtype: jnp.dtype = jnp.bfloat16,
+                  axis_name: Optional[str] = None,
+                  ) -> Tuple[jax.Array, Params]:
+    """The standard darknet conv: conv (no bias) -> BN -> LeakyReLU(0.1).
+
+    Equivalent of the slim arg_scope'd conv2d in the reference
+    (model.py:43-49 + layer_utils.py:9-22). Returns activations in
+    `compute_dtype` and the updated BN state.
+    """
+    y = conv2d(x, p["w"], stride=stride, compute_dtype=compute_dtype)
+    y, new_s = batch_norm(y, p, s, train=train, momentum=momentum, eps=eps,
+                          axis_name=axis_name)
+    return leaky_relu(y).astype(compute_dtype), new_s
+
+
+def conv_bias(x: jax.Array, p: Params, *,
+              compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """Plain conv + bias, no BN, no activation — the 3 detection output convs
+    (reference model.py:55-77). Output stays fp32 for the decode/loss."""
+    y = conv2d(x, p["w"], stride=1, compute_dtype=compute_dtype)
+    return y + p["b"].astype(y.dtype)
+
+
+def conv_folded(x: jax.Array, p: Params, *, stride: int = 1,
+                compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """Inference fast path: conv with BN folded into (w, b), then leaky.
+
+    The BN multiply/add is pre-applied to the kernel and bias by
+    `models.yolov3.fold_batch_norm`, halving HBM traffic per layer and letting
+    XLA emit a single fused conv+bias+leaky per layer.
+    """
+    y = conv2d(x, p["w"], stride=stride, compute_dtype=compute_dtype)
+    y = y + p["b"].astype(y.dtype)
+    return leaky_relu(y).astype(compute_dtype)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample via reshape-broadcast.
+
+    Equivalent of the reference's tf.image.resize_nearest_neighbor
+    (layer_utils.py:82-87), which is always called with exactly 2x the input
+    spatial dims. The broadcast trick avoids a gather and fuses cleanly.
+    """
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def init_conv_bn(key: jax.Array, k: int, cin: int, cout: int
+                 ) -> Tuple[Params, Params]:
+    """Initialize a conv+BN layer: glorot-uniform kernel (slim's default
+    xavier initializer), gamma=1, beta=0, moving mean=0, moving var=1."""
+    w = jax.nn.initializers.glorot_uniform()(key, (k, k, cin, cout), jnp.float32)
+    params = {
+        "w": w,
+        "gamma": jnp.ones((cout,), jnp.float32),
+        "beta": jnp.zeros((cout,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((cout,), jnp.float32),
+        "var": jnp.ones((cout,), jnp.float32),
+    }
+    return params, state
+
+
+def init_conv_bias(key: jax.Array, k: int, cin: int, cout: int) -> Params:
+    """Initialize an output conv: glorot kernel + zero bias (model.py:55-57)."""
+    w = jax.nn.initializers.glorot_uniform()(key, (k, k, cin, cout), jnp.float32)
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
