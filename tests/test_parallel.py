@@ -1,0 +1,110 @@
+"""Data-parallel correctness on a virtual 8-device CPU mesh: the DP step
+equals the single-device step on the same global batch (including sync-BN
+statistics), and the sharded eval forward matches single-device NMS."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tensorflow_tpu.config import Config
+from yolov3_tensorflow_tpu.models.yolov3 import init_yolov3
+from yolov3_tensorflow_tpu.parallel.data_parallel import (make_dp_eval_forward,
+                                                          make_dp_train_step)
+from yolov3_tensorflow_tpu.parallel.mesh import (make_data_mesh, replicate,
+                                                 shard_batch)
+from yolov3_tensorflow_tpu.train.optimizers import build_optimizer
+from yolov3_tensorflow_tpu.train.schedules import fixed
+from yolov3_tensorflow_tpu.train.trainer import make_train_step
+
+
+def _tiny_cfg(num_classes=2):
+    cfg = Config()
+    cfg.model.num_classes = num_classes
+    cfg.model.compute_dtype = "float32"  # bit-exact DP-vs-single comparison
+    cfg.eval.pre_nms_topk = 32
+    cfg.eval.nms_topk = 4
+    return cfg.finalize(count_files=False)
+
+
+def _batch(rng, n, size=64, c=2):
+    images = rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+    y_true = []
+    for s in (32, 16, 8):
+        g = size // s
+        yt = np.zeros((n, g, g, 3, 6 + c), np.float32)
+        yt[..., -1] = 1.0
+        for i in range(n):
+            yt[i, i % g, (2 * i) % g, i % 3, 0:4] = [20 + i, 20, 16, 24]
+            yt[i, i % g, (2 * i) % g, i % 3, 4] = 1.0
+            yt[i, i % g, (2 * i) % g, i % 3, 5 + i % c] = 1.0
+        y_true.append(yt)
+    return images, tuple(y_true)
+
+
+@pytest.mark.slow
+def test_dp_step_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    cfg = _tiny_cfg()
+    mesh = make_data_mesh(8)
+
+    variables = init_yolov3(jax.random.PRNGKey(0), cfg.model.num_classes)
+    optimizer = build_optimizer("momentum", fixed(1e-3), grad_clip_norm=100.0)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": optimizer.init(variables["params"]),
+             "step": jnp.zeros((), jnp.int32)}
+
+    rng = np.random.default_rng(0)
+    images, y_true = _batch(rng, 8)
+
+    # single-device reference on the full global batch
+    single = jax.jit(make_train_step(cfg, optimizer))
+    ref_state, ref_metrics = single(
+        jax.tree_util.tree_map(jnp.asarray, state),
+        jnp.asarray(images), tuple(jnp.asarray(y) for y in y_true))
+
+    # 8-way DP
+    dp_step = make_dp_train_step(cfg, optimizer, mesh)
+    dp_state = replicate(mesh, jax.tree_util.tree_map(jnp.asarray, state))
+    images_s = shard_batch(mesh, jnp.asarray(images))
+    y_true_s = tuple(shard_batch(mesh, jnp.asarray(y)) for y in y_true)
+    new_state, metrics = dp_step(dp_state, images_s, y_true_s)
+
+    # losses are per-image means -> pmean over shards == global-batch value
+    np.testing.assert_allclose(float(metrics["total"]),
+                               float(ref_metrics["total"]), rtol=5e-3)
+    # parameters advance identically (sync grads) — spot-check two leaves
+    np.testing.assert_allclose(
+        np.asarray(new_state["params"]["head"]["conv_22"]["w"]),
+        np.asarray(ref_state["params"]["head"]["conv_22"]["w"]),
+        rtol=1e-4, atol=1e-6)
+    # sync-BN: cross-replica moments equal global-batch moments
+    np.testing.assert_allclose(
+        np.asarray(new_state["batch_stats"]["backbone"]["conv_0"]["mean"]),
+        np.asarray(ref_state["batch_stats"]["backbone"]["conv_0"]["mean"]),
+        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_dp_eval_forward_matches_single():
+    cfg = _tiny_cfg()
+    mesh = make_data_mesh(8)
+    variables = init_yolov3(jax.random.PRNGKey(1), cfg.model.num_classes)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+
+    rng = np.random.default_rng(1)
+    images, _ = _batch(rng, 8)
+
+    dp_fwd = make_dp_eval_forward(cfg, mesh)
+    dets = dp_fwd(replicate(mesh, state), shard_batch(mesh, jnp.asarray(images)))
+    assert dets["boxes"].shape[0] == 8
+
+    from yolov3_tensorflow_tpu.train.trainer import make_eval_step
+    y_dummy = tuple(
+        jnp.zeros((8, 64 // s, 64 // s, 3, 6 + cfg.model.num_classes))
+        for s in (32, 16, 8))
+    _, ref = make_eval_step(cfg)(state, jnp.asarray(images), y_dummy)
+    np.testing.assert_allclose(np.asarray(dets["scores"]),
+                               np.asarray(ref["scores"]), rtol=1e-4, atol=1e-6)

@@ -29,7 +29,13 @@ _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 def conv2d(x: jax.Array, w: jax.Array, stride: int = 1,
            compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
-    """2-D convolution, NHWC x HWIO -> NHWC, fp32 accumulation on the MXU."""
+    """2-D convolution, NHWC x HWIO -> NHWC in `compute_dtype`.
+
+    On TPU the MXU accumulates bf16 x bf16 in fp32 internally; emitting the
+    result in compute_dtype keeps forward and backward convs homogeneous
+    (mixed in/out dtypes break the transposed-conv VJP) and halves the HBM
+    traffic of intermediate activations.
+    """
     k = w.shape[0]
     pad = (k - 1) // 2
     return lax.conv_general_dilated(
@@ -38,7 +44,6 @@ def conv2d(x: jax.Array, w: jax.Array, stride: int = 1,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -104,9 +109,9 @@ def conv_bn_leaky(x: jax.Array, p: Params, s: Params, *,
 def conv_bias(x: jax.Array, p: Params, *,
               compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
     """Plain conv + bias, no BN, no activation — the 3 detection output convs
-    (reference model.py:55-77). Output stays fp32 for the decode/loss."""
+    (reference model.py:55-77). Output upcast to fp32 for the decode/loss."""
     y = conv2d(x, p["w"], stride=1, compute_dtype=compute_dtype)
-    return y + p["b"].astype(y.dtype)
+    return y.astype(jnp.float32) + p["b"].astype(jnp.float32)
 
 
 def conv_folded(x: jax.Array, p: Params, *, stride: int = 1,

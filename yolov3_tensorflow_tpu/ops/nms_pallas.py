@@ -1,0 +1,302 @@
+"""Pallas TPU kernel for per-class greedy NMS suppression.
+
+The one genuinely kernel-shaped component of the framework (SURVEY.md §2.1):
+the replacement for the reference's C++ tf.image.non_max_suppression
+(nms_utils.py:36). Top-k candidate selection stays in XLA (its top_k is
+already optimal); this kernel computes the greedy keep-mask for all
+(image, class) pairs.
+
+Algorithm — exact greedy via the matrix-NMS fixpoint:
+    M[i, j] = (IoU(box_i, box_j) > t) and i < j        (score-desc order)
+    keep   <- valid
+    repeat: keep <- valid and not (keep @ M > 0)   until unchanged
+
+Any fixpoint of that map equals the sequential greedy solution (unique by
+strong induction over candidate rank), and iterate-until-stable reaches it in
+at most the suppression-chain depth (typically < 8) iterations. Each
+iteration is one [1,K]x[K,K] matvec on the MXU over VMEM-resident data — no
+HBM traffic for the K^2 IoU matrix and no K-step sequential scalar loop, the
+two costs that make naive TPU NMS slow.
+
+Grid: one program per (image*class); candidates per program K (static,
+multiple of 128). Inputs are produced by the same XLA top-k staging as
+ops.nms (boxes sorted score-descending + validity mask).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_kernel(boxes_ref, valid_ref, iou_thresh_ref, keep_ref):
+    """One (image, class) program: boxes [1, K, 4] -> keep mask [1, 1, K]."""
+    k = boxes_ref.shape[1]
+    boxes = boxes_ref[0].astype(jnp.float32)          # [K, 4]
+    valid = valid_ref[0, 0].astype(jnp.float32)       # [K]
+    thresh = iou_thresh_ref[0]
+
+    x0 = boxes[:, 0]
+    y0 = boxes[:, 1]
+    x1 = boxes[:, 2]
+    y1 = boxes[:, 3]
+    area = (x1 - x0) * (y1 - y0)                      # [K]
+
+    # pairwise IoU, [K, K] in VMEM
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    iw = jnp.maximum(ix1 - ix0, 0.0)
+    ih = jnp.maximum(iy1 - iy0, 0.0)
+    inter = iw * ih
+    iou = inter / (area[:, None] + area[None, :] - inter + 1e-10)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    # suppressor matrix: higher-ranked i (i < j) with IoU > t
+    m = ((iou > thresh) & (rows < cols)).astype(jnp.float32)
+
+    valid_row = valid[None, :]                        # [1, K]
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+    def body(carry):
+        keep, _, it = carry
+        suppressed = jnp.dot(keep, m, preferred_element_type=jnp.float32)
+        new_keep = valid_row * (suppressed <= 0.0).astype(jnp.float32)
+        return new_keep, keep, it + 1
+
+    init = (valid_row, -jnp.ones_like(valid_row), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    keep_ref[0, 0, :] = keep[0]
+
+
+def nms_keep_mask_pallas(boxes: jax.Array, valid: jax.Array,
+                         iou_thresh: float,
+                         interpret: bool = False) -> jax.Array:
+    """Greedy NMS keep masks for a batch of candidate sets.
+
+    boxes: [G, K, 4] xyxy, each row score-descending; valid: [G, K] bool.
+    Returns keep [G, K] bool. K must be a multiple of 128 (pad upstream).
+    """
+    g, k, _ = boxes.shape
+    if k % 128 != 0:
+        raise ValueError(f"K must be a multiple of 128, got {k}")
+    thresh = jnp.full((1,), iou_thresh, jnp.float32)
+
+    # valid/keep carry a singleton middle axis so every block's trailing two
+    # dims are (1, K) == the array dims (Mosaic tiling requirement)
+    keep = pl.pallas_call(
+        _nms_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 1, k), jnp.float32),
+        interpret=interpret,
+    )(boxes.astype(jnp.float32),
+      valid.astype(jnp.float32)[:, None, :], thresh)
+    return keep[:, 0, :] > 0.5
+
+
+def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
+    """One *image* per program: all classes share one candidate box set.
+
+    boxes_ref:  [1, K, 4]  candidate boxes (any order)
+    scores_ref: [1, C, K]  per-class scores of the same candidates
+                           (class-major so each class is a sublane slice)
+    thresh_ref: [2] SMEM   (iou_thresh, score_thresh)
+    keep_ref:   [1, C, K]  keep masks
+
+    The IoU>t mask is computed ONCE; each class reuses it with its own
+    score-rank ordering mask (greedy order = score-descending, ties by
+    candidate index), then runs the fixpoint iteration. Eliminates both the
+    per-(image,class) kernel grid and the per-class XLA top_k+gather staging.
+    """
+    k = boxes_ref.shape[1]
+    c = scores_ref.shape[1]
+    boxes = boxes_ref[0].astype(jnp.float32)
+    iou_t = thresh_ref[0]
+    score_t = thresh_ref[1]
+
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x1 - x0) * (y1 - y0)
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    iw = jnp.maximum(ix1 - ix0, 0.0)
+    ih = jnp.maximum(iy1 - iy0, 0.0)
+    inter = iw * ih
+    iou = inter / (area[:, None] + area[None, :] - inter + 1e-10)
+    iou_mask = iou > iou_t                                 # [K, K], shared
+
+    rows_lt_cols = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+                    < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
+    def per_class(ci, _):
+        # dynamic slicing must address the ref directly (Mosaic requirement)
+        s = scores_ref[0, ci, :].astype(jnp.float32)                  # [K]
+        valid = (s >= score_t).astype(jnp.float32)[None, :]           # [1, K]
+        # rank mask: i precedes j in greedy order
+        rank = (s[:, None] > s[None, :]) | (
+            (s[:, None] == s[None, :]) & rows_lt_cols)
+        m = (iou_mask & rank).astype(jnp.float32)
+
+        def cond(carry):
+            keep, prev, it = carry
+            return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+        def body(carry):
+            keep, _, it = carry
+            suppressed = jnp.dot(keep, m, preferred_element_type=jnp.float32)
+            return (valid * (suppressed <= 0.0).astype(jnp.float32),
+                    keep, it + 1)
+
+        keep, _, _ = jax.lax.while_loop(
+            cond, body, (valid, -jnp.ones_like(valid), jnp.int32(0)))
+        keep_ref[0, ci, :] = keep[0]
+        return 0
+
+    jax.lax.fori_loop(0, c, per_class, 0)
+
+
+def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
+                                score_thresh: float, iou_thresh: float,
+                                interpret: bool = False) -> jax.Array:
+    """All-class keep masks over a shared candidate set.
+
+    boxes: [B, K, 4]; scores: [B, K, C] -> keep [B, C, K] bool.
+    K must be a multiple of 128; C a multiple of 8 (pad upstream).
+    """
+    b, k, _ = boxes.shape
+    c = scores.shape[2]
+    if k % 128 != 0:
+        raise ValueError(f"K must be a multiple of 128, got {k}")
+    thresh = jnp.asarray([iou_thresh, score_thresh], jnp.float32)
+    scores_ck = jnp.swapaxes(scores, 1, 2)                  # [B, C, K]
+
+    keep = pl.pallas_call(
+        _nms_shared_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, k), jnp.float32),
+        interpret=interpret,
+    )(boxes.astype(jnp.float32), scores_ck.astype(jnp.float32), thresh)
+    return keep > 0.5
+
+
+def batched_nms_shared_pallas(boxes: jax.Array, scores: jax.Array, *,
+                              max_out: int = 50, score_thresh: float = 0.5,
+                              iou_thresh: float = 0.5,
+                              interpret: bool = False) -> Dict[str, jax.Array]:
+    """Per-class NMS where every class scores the SAME candidate boxes.
+
+    boxes: [B, K, 4] (any order); scores: [B, K, C].
+    Same output contract as batched_nms. This is the fast-detector backend:
+    candidates come from the objectness prefilter, so no per-class top_k or
+    gather is needed before the kernel.
+    """
+    b, k, _ = boxes.shape
+    c = scores.shape[2]
+    keep = nms_keep_mask_shared_pallas(boxes, scores, score_thresh,
+                                       iou_thresh, interpret=interpret)
+    # final per-class compaction (scores broadcast to [B, C, K])
+    scores_ck = jnp.swapaxes(scores, 1, 2)                  # [B, C, K]
+    out_scores = jnp.where(keep, scores_ck, -jnp.inf)
+    m = min(max_out, k)
+    sel_scores, sel = jax.lax.top_k(out_scores, m)          # [B, C, M]
+    sel_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], sel[..., None], axis=2)
+    sel_valid = jnp.isfinite(sel_scores)
+    sel_scores = jnp.where(sel_valid, sel_scores, 0.0)
+    if m < max_out:
+        pad = max_out - m
+        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, 0), (0, pad)))
+        sel_valid = jnp.pad(sel_valid, ((0, 0), (0, 0), (0, pad)))
+    labels = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, max_out))
+    return {
+        "boxes": sel_boxes.reshape(b, c * max_out, 4),
+        "scores": sel_scores.reshape(b, c * max_out),
+        "labels": labels.reshape(b, c * max_out),
+        "valid": sel_valid.reshape(b, c * max_out),
+    }
+
+
+def batched_nms_pallas(boxes: jax.Array, scores: jax.Array, *,
+                       max_out: int = 50, pre_topk: int = 256,
+                       score_thresh: float = 0.5, iou_thresh: float = 0.5,
+                       interpret: bool = False) -> Dict[str, jax.Array]:
+    """Drop-in batched per-class NMS with the Pallas suppression kernel.
+
+    Same contract as ops.nms.batched_nms: boxes [B, A, 4], scores [B, A, C]
+    -> dict of [B, C*max_out, ...]. XLA stages top-k candidate selection and
+    the final per-class compaction; Pallas computes all B*C keep masks in one
+    launch.
+    """
+    b, a, _ = boxes.shape
+    c = scores.shape[2]
+    k = min(pre_topk, a)
+
+    # [B, C, A]: per-class scores
+    scores_t = jnp.swapaxes(scores, 1, 2)
+    top_scores, top_idx = jax.lax.top_k(scores_t, k)          # [B, C, K]
+    top_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], top_idx[..., None], axis=2)      # [B, C, K, 4]
+    valid = top_scores >= score_thresh
+
+    # pad the candidate axis to the TPU lane width with invalid entries
+    k_pad = ((k + 127) // 128) * 128
+    if k_pad != k:
+        pad = k_pad - k
+        kern_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kern_valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
+    else:
+        kern_boxes, kern_valid = top_boxes, valid
+
+    keep = nms_keep_mask_pallas(
+        kern_boxes.reshape(b * c, k_pad, 4), kern_valid.reshape(b * c, k_pad),
+        iou_thresh, interpret=interpret).reshape(b, c, k_pad)[..., :k]
+
+    out_scores = jnp.where(keep, top_scores, -jnp.inf)
+    m = min(max_out, k)
+    sel_scores, sel = jax.lax.top_k(out_scores, m)             # [B, C, M]
+    sel_boxes = jnp.take_along_axis(top_boxes, sel[..., None], axis=2)
+    sel_valid = jnp.isfinite(sel_scores)
+    sel_scores = jnp.where(sel_valid, sel_scores, 0.0)
+    if m < max_out:
+        pad = max_out - m
+        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, 0), (0, pad)))
+        sel_valid = jnp.pad(sel_valid, ((0, 0), (0, 0), (0, pad)))
+    labels = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, max_out))
+    return {
+        "boxes": sel_boxes.reshape(b, c * max_out, 4),
+        "scores": sel_scores.reshape(b, c * max_out),
+        "labels": labels.reshape(b, c * max_out),
+        "valid": sel_valid.reshape(b, c * max_out),
+    }

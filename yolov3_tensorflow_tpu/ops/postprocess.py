@@ -52,12 +52,18 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                    max_out: int = 200, pre_topk: int = 256,
                    score_thresh: float = 0.3, iou_thresh: float = 0.45,
                    compute_dtype=jnp.bfloat16,
-                   use_pallas: Optional[bool] = None) -> Callable:
+                   use_pallas: Optional[bool] = None,
+                   fast: bool = True, box_topk: int = 256) -> Callable:
     """Build a jitted end-to-end detector: images [B,H,W,3] -> detections.
 
     Folds BN into the conv weights once (inference fast path), then jits
     forward+decode+NMS as one program. Default thresholds mirror the demo
     scripts (max 200 boxes, score 0.3, iou 0.45; test_single_image.py:57).
+
+    fast=True uses the prefilter postprocess (ops.fast_postprocess) — exact
+    at demo thresholds whenever <= box_topk boxes pass the score threshold;
+    set fast=False for the exhaustive per-class path (mAP evaluation at very
+    low thresholds).
     """
     folded = fold_batch_norm(variables, dtype=compute_dtype)
 
@@ -65,6 +71,14 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
     def detect(images: jax.Array) -> Dict[str, jax.Array]:
         fmaps = yolov3_forward_folded(folded, images,
                                       compute_dtype=compute_dtype)
+        if fast:
+            from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+                postprocess_prefilter)
+            return postprocess_prefilter(
+                fmaps, anchors, num_classes, img_size, max_out=max_out,
+                box_topk=box_topk, pre_topk=min(pre_topk, box_topk),
+                score_thresh=score_thresh, iou_thresh=iou_thresh,
+                use_pallas=use_pallas)
         return postprocess(
             fmaps, anchors, num_classes, img_size, max_out=max_out,
             pre_topk=pre_topk, score_thresh=score_thresh,

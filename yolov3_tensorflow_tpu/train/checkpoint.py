@@ -51,9 +51,15 @@ class CheckpointStore:
         self._ckptr.wait_until_finished()
         return path
 
-    def restore(self, name_or_path: str) -> Dict[str, Any]:
+    def restore(self, name_or_path: str,
+                target: Optional[Any] = None) -> Dict[str, Any]:
+        """Restore a checkpoint tree. Pass `target` (a matching pytree of
+        arrays) to restore custom container types (e.g. optax namedtuple
+        states) with their original structure."""
         path = (name_or_path if os.path.isabs(name_or_path)
                 else self.path(name_or_path))
+        if target is not None:
+            return self._ckptr.restore(path, _to_host(target))
         return self._ckptr.restore(path)
 
     def list(self) -> Sequence[str]:

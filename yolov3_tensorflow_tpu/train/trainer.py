@@ -1,0 +1,349 @@
+"""The training loop: jitted train/eval steps + orchestration.
+
+Rebuild of /root/reference/train.py. The reference pays a Python<->C++
+session round trip per step and even fetches full y_pred/y_true back to host
+every iteration (train.py:138-140); here one donated, jitted `train_step`
+(forward + loss + grad + clip + optimizer + BN update) runs per step with
+only scalar metrics leaving the device, and in-training evaluation reuses the
+same compiled postprocess instead of a second placeholder-fed NMS graph
+(train.py:27-29,150-152).
+
+Multi-scale training uses bucketed static shapes: jax caches one compiled
+program per image size (10 buckets, data/loader.py MULTI_SCALE_SIZES), the
+TPU answer to the reference's free-form dynamic shapes (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yolov3_tensorflow_tpu.config import Config
+from yolov3_tensorflow_tpu.data.loader import DataLoader
+from yolov3_tensorflow_tpu.evaluation.metrics import (AverageMeter,
+                                                      detections_to_pred_rows,
+                                                      evaluate_batch)
+from yolov3_tensorflow_tpu.evaluation.voc import evaluate_map, parse_gt_records
+from yolov3_tensorflow_tpu.models.decode import predict_boxes
+from yolov3_tensorflow_tpu.models.yolov3 import init_yolov3, yolov3_forward
+from yolov3_tensorflow_tpu.ops.losses import compute_loss, l2_regularization
+from yolov3_tensorflow_tpu.ops.nms import batched_nms
+from yolov3_tensorflow_tpu.train.checkpoint import (CheckpointStore,
+                                                    partial_restore)
+from yolov3_tensorflow_tpu.train.optimizers import (build_optimizer,
+                                                    path_prefix_mask)
+from yolov3_tensorflow_tpu.train.schedules import build_schedule
+from yolov3_tensorflow_tpu.utils.summary import SummaryWriter
+
+TrainState = Dict[str, Any]  # {"params", "batch_stats", "opt_state", "step"}
+
+
+def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
+                    axis_name: Optional[str] = None) -> Callable:
+    """Build the pure train-step function (jit/shard_map-ready).
+
+    state -> batch(images, y_true tuple) -> (new_state, metrics). When
+    `axis_name` is set (data-parallel shard_map), gradients and BN moments
+    are averaged across the mesh axis.
+    """
+    anchors = np.asarray(cfg.anchors, np.float32)
+    m = cfg.model
+    compute_dtype = jnp.dtype(m.compute_dtype)
+
+    def train_step(state: TrainState, images: jax.Array,
+                   y_true: Tuple[jax.Array, ...]):
+        img_size = (images.shape[1], images.shape[2])  # (h, w)
+
+        def loss_fn(params):
+            fmaps, new_stats = yolov3_forward(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                images, train=True, compute_dtype=compute_dtype,
+                bn_momentum=m.batch_norm_decay, bn_eps=m.batch_norm_epsilon,
+                axis_name=axis_name)
+            losses = compute_loss(
+                fmaps, y_true, anchors, m.num_classes, img_size,
+                use_label_smooth=m.use_label_smooth,
+                use_focal_loss=m.use_focal_loss)
+            l2 = l2_regularization(params, m.weight_decay)
+            return losses["total"] + l2, (losses, l2, new_stats)
+
+        grads, (losses, l2, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state["params"])
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = optimizer.update(grads, state["opt_state"],
+                                            state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": new_params, "batch_stats": new_stats,
+                     "opt_state": new_opt, "step": state["step"] + 1}
+        metrics = {**losses, "l2": l2}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    """Eval-mode forward + loss + fixed-shape NMS detections, one jit."""
+    anchors = np.asarray(cfg.anchors, np.float32)
+    m, e = cfg.model, cfg.eval
+    compute_dtype = jnp.dtype(m.compute_dtype)
+
+    @jax.jit
+    def eval_step(state: TrainState, images: jax.Array,
+                  y_true: Tuple[jax.Array, ...]):
+        img_size = (images.shape[1], images.shape[2])
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        fmaps, _ = yolov3_forward(variables, images, train=False,
+                                  compute_dtype=compute_dtype,
+                                  bn_eps=m.batch_norm_epsilon)
+        losses = compute_loss(fmaps, y_true, anchors, m.num_classes, img_size,
+                              use_label_smooth=m.use_label_smooth,
+                              use_focal_loss=m.use_focal_loss)
+        boxes, confs, probs = predict_boxes(fmaps, anchors, m.num_classes,
+                                            img_size)
+        dets = batched_nms(boxes, confs * probs, max_out=e.nms_topk,
+                           pre_topk=e.pre_nms_topk,
+                           score_thresh=e.score_threshold,
+                           iou_thresh=e.nms_threshold)
+        return losses, dets
+
+    return eval_step
+
+
+class Trainer:
+    """End-to-end training orchestration (reference train.py:122-226)."""
+
+    def __init__(self, cfg: Config, seed: int = 0):
+        self.cfg = cfg
+        self.seed = seed
+        self.log = logging.getLogger("yolov3_tpu.train")
+        if cfg.train.progress_log_path:
+            os.makedirs(os.path.dirname(cfg.train.progress_log_path) or ".",
+                        exist_ok=True)
+            handler = logging.FileHandler(cfg.train.progress_log_path, "w")
+            handler.setFormatter(logging.Formatter(
+                "%(asctime)s %(levelname)s %(message)s"))
+            self.log.addHandler(handler)
+        self.log.setLevel(logging.INFO)
+
+        self.schedule = build_schedule(cfg)
+        self.store = CheckpointStore(cfg.train.save_dir)
+        self.writer = SummaryWriter(cfg.train.log_dir)
+        self.best_map = -np.inf
+        self._train_step = None  # built after params exist (freeze mask)
+
+    # ---------------- state management ----------------
+
+    def init_state(self) -> TrainState:
+        variables = init_yolov3(jax.random.PRNGKey(self.seed),
+                                self.cfg.model.num_classes)
+        mask = path_prefix_mask(variables["params"],
+                                self.cfg.train.update_part)
+        self.optimizer = build_optimizer(
+            self.cfg.train.optimizer, self.schedule,
+            momentum=self.cfg.train.momentum,
+            rmsprop_decay=self.cfg.train.rmsprop_decay,
+            grad_clip_norm=self.cfg.train.grad_clip_norm,
+            update_mask=mask)
+        state: TrainState = {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "opt_state": self.optimizer.init(variables["params"]),
+            "step": jnp.asarray(self.cfg.train.global_step, jnp.int32),
+        }
+        self._train_step = jax.jit(
+            make_train_step(self.cfg, self.optimizer), donate_argnums=(0,))
+        self._eval_step = make_eval_step(self.cfg)
+        return state
+
+    def restore_into(self, state: TrainState, path: str) -> TrainState:
+        """Partial restore honoring restore_include/exclude
+        (train.py:81 + args.py:47-57)."""
+        restored = self.store.restore(path)
+        t = self.cfg.train
+        state = dict(state)
+        state["params"] = partial_restore(
+            state["params"], restored["params"],
+            include=t.restore_include, exclude=t.restore_exclude)
+        if "batch_stats" in restored:
+            state["batch_stats"] = partial_restore(
+                state["batch_stats"], restored["batch_stats"],
+                include=t.restore_include, exclude=t.restore_exclude)
+        if "opt_state" in restored and t.restore_include is None \
+                and t.restore_exclude is None:
+            # orbax restores namedtuple states as plain dicts; re-restore with
+            # the live opt_state as target to recover the optax containers
+            with_target = self.store.restore(
+                path, target={**restored, "opt_state": state["opt_state"]})
+            state["opt_state"] = jax.tree_util.tree_map(
+                jnp.asarray, with_target["opt_state"])
+        if "step" in restored and t.global_step == 0:
+            state["step"] = jnp.asarray(int(restored["step"]), jnp.int32)
+        return state
+
+    # ---------------- loops ----------------
+
+    def train_epoch(self, state: TrainState, loader: DataLoader, epoch: int,
+                    val_loader: Optional[DataLoader] = None) -> TrainState:
+        cfg = self.cfg
+        meters = {k: AverageMeter() for k in
+                  ("total", "xy", "wh", "conf", "class")}
+        for batch in loader.epoch(epoch):
+            state, metrics = self._train_step(
+                state, jnp.asarray(batch.images),
+                tuple(jnp.asarray(y) for y in batch.y_true))
+            step = int(state["step"])
+            n = batch.images.shape[0]
+            host_metrics = {}
+            for k in meters:
+                host_metrics[k] = float(metrics[k])
+                meters[k].update(host_metrics[k], n)
+            lr = float(self.schedule(jnp.asarray(step, jnp.float32)))
+            for k, v in host_metrics.items():
+                self.writer.scalar(f"train_batch_statistics/loss_{k}", v, step)
+            self.writer.scalar("train_batch_statistics/loss_l2",
+                               float(metrics["l2"]), step)
+            self.writer.scalar("learning_rate", lr, step)
+
+            if (cfg.train.train_evaluation_step and step > 0
+                    and step % cfg.train.train_evaluation_step == 0):
+                _, dets = self._eval_step(
+                    state, jnp.asarray(batch.images),
+                    tuple(jnp.asarray(y) for y in batch.y_true))
+                dets_np = {k: np.asarray(v) for k, v in dets.items()}
+                recall, precision = evaluate_batch(
+                    dets_np, batch.y_true, cfg.model.num_classes,
+                    cfg.eval.eval_threshold)
+                info = (f"Epoch: {epoch}, global_step: {step} | "
+                        f"loss: total: {meters['total'].average:.2f}, "
+                        f"xy: {meters['xy'].average:.2f}, "
+                        f"wh: {meters['wh'].average:.2f}, "
+                        f"conf: {meters['conf'].average:.2f}, "
+                        f"class: {meters['class'].average:.2f} | "
+                        f"Last batch: rec: {recall:.3f}, "
+                        f"prec: {precision:.3f} | lr: {lr:.5g}")
+                print(info)
+                self.log.info(info)
+                self.writer.scalar("evaluation/train_batch_recall", recall, step)
+                self.writer.scalar("evaluation/train_batch_precision",
+                                   precision, step)
+                if np.isnan(meters["total"].average):
+                    # NaN abort (train.py:163-166)
+                    raise ArithmeticError(
+                        "Gradient exploded! Please train again and you may "
+                        "need modify some parameters.")
+        self._last_epoch_loss = meters["total"].average
+        self._last_lr = float(self.schedule(state["step"].astype(jnp.float32)))
+        return state
+
+    def validate(self, state: TrainState, val_loader: DataLoader,
+                 epoch: int) -> Dict[str, Any]:
+        """Full-dataset VOC mAP evaluation (train.py:174-216)."""
+        cfg = self.cfg
+        val_meters = {k: AverageMeter() for k in
+                      ("total", "xy", "wh", "conf", "class")}
+        rows = []
+        for batch in val_loader.epoch(0):
+            losses, dets = self._eval_step(
+                state, jnp.asarray(batch.images),
+                tuple(jnp.asarray(y) for y in batch.y_true))
+            dets_np = {k: np.asarray(v) for k, v in dets.items()}
+            rows.extend(detections_to_pred_rows(dets_np, batch.image_ids))
+            for k in val_meters:
+                val_meters[k].update(float(losses[k]), batch.images.shape[0])
+
+        gt = parse_gt_records(cfg.data.val_file,
+                              cfg.data.img_size, cfg.data.letterbox_resize)
+        result = evaluate_map(gt, rows, cfg.model.num_classes,
+                              cfg.eval.eval_threshold,
+                              cfg.eval.use_voc_07_metric)
+        step = int(state["step"])
+        info = [f"======> Epoch: {epoch}, global_step: {step} <======"]
+        for c, r in result["per_class"].items():
+            info.append(f"EVAL: Class {c}: Recall: {r['recall']:.4f}, "
+                        f"Precision: {r['precision']:.4f}, AP: {r['ap']:.4f}")
+        info.append(f"EVAL: Recall: {result['recall']:.4f}, "
+                    f"Precison: {result['precision']:.4f}, "
+                    f"mAP: {result['mAP']:.4f}")
+        info.append(
+            "EVAL: loss: total: {:.2f}, xy: {:.2f}, wh: {:.2f}, "
+            "conf: {:.2f}, class: {:.2f}".format(
+                *[val_meters[k].average for k in
+                  ("total", "xy", "wh", "conf", "class")]))
+        text = "\n".join(info)
+        print(text)
+        self.log.info(text)
+        self.writer.scalar("evaluation/val_mAP", result["mAP"], epoch)
+        self.writer.scalar("evaluation/val_recall", result["recall"], epoch)
+        self.writer.scalar("evaluation/val_precision", result["precision"],
+                           epoch)
+        for k in val_meters:
+            self.writer.scalar(f"validation_statistics/loss_{k}",
+                               val_meters[k].average, epoch)
+        result["val_loss"] = val_meters["total"].average
+        return result
+
+    def fit(self, state: Optional[TrainState] = None) -> TrainState:
+        """The full schedule: epochs, periodic ckpts, best-mAP ckpts
+        (train.py:128-226)."""
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+            if cfg.train.restore_path:
+                state = self.restore_into(state, cfg.train.restore_path)
+
+        train_loader = DataLoader(
+            cfg.data.train_file, cfg.model.num_classes, cfg.anchors,
+            cfg.train.batch_size, cfg.data.img_size, mode="train",
+            letterbox=cfg.data.letterbox_resize,
+            multi_scale=cfg.data.multi_scale_train,
+            multi_scale_interval=cfg.data.multi_scale_interval,
+            use_mix_up=cfg.data.use_mix_up,
+            use_color_distort=cfg.data.use_color_distort,
+            num_threads=cfg.data.num_threads,
+            prefetch=cfg.data.prefetch_buffer, seed=self.seed)
+        val_loader = DataLoader(
+            cfg.data.val_file, cfg.model.num_classes, cfg.anchors,
+            cfg.eval.batch_size, cfg.data.img_size, mode="val",
+            letterbox=cfg.data.letterbox_resize,
+            num_threads=cfg.data.num_threads,
+            prefetch=cfg.data.prefetch_buffer, seed=self.seed)
+
+        for epoch in range(cfg.train.total_epochs):
+            state = self.train_epoch(state, train_loader, epoch)
+            step = int(state["step"])
+
+            # periodic save gated on loss (train.py:169-171)
+            if (cfg.train.save_epoch and epoch % cfg.train.save_epoch == 0
+                    and epoch > 0 and self._last_epoch_loss <= 2.0):
+                name = (f"model-epoch_{epoch}_step_{step}"
+                        f"_loss_{self._last_epoch_loss:.4f}"
+                        f"_lr_{self._last_lr:.5g}")
+                self.store.save(name, state,
+                                include_opt=cfg.train.save_optimizer)
+
+            # full validation + best-ckpt (train.py:174-216)
+            if (cfg.train.val_evaluation_epoch
+                    and epoch % cfg.train.val_evaluation_epoch == 0
+                    and epoch >= cfg.train.warm_up_epoch
+                    and val_loader.num_examples() > 0):
+                result = self.validate(state, val_loader, epoch)
+                if result["mAP"] > self.best_map:
+                    self.best_map = result["mAP"]
+                    name = (f"best_model_Epoch_{epoch}_step_{step}"
+                            f"_mAP_{self.best_map:.4f}"
+                            f"_loss_{result['val_loss']:.4f}"
+                            f"_lr_{self._last_lr:.7g}")
+                    self.store.save(name, state,
+                                    include_opt=cfg.train.save_optimizer)
+        self.writer.flush()
+        return state
