@@ -58,7 +58,7 @@ def main() -> None:
                                       compute_dtype=jnp.bfloat16)
         return postprocess_prefilter(
             fmaps, anchors, num_classes, (416, 416), max_out=50,
-            box_topk=256, pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
+            box_topk=128, pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
             use_pallas=use_pallas)
 
     detect_jit = jax.jit(detect)
@@ -97,17 +97,22 @@ def main() -> None:
 
     def nms_only(fm):
         return postprocess_prefilter(
-            fm, anchors, num_classes, (416, 416), max_out=50, box_topk=256,
+            fm, anchors, num_classes, (416, 416), max_out=50, box_topk=128,
             pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
             use_pallas=use_pallas)
 
     nms_jit = jax.jit(nms_only)
     jax.block_until_ready(nms_jit(fmaps))
+    # pipelined timing: per-call blocking would measure the host-device RPC
+    # round trip, not the kernel
     times = []
-    for _ in range(20 if backend == "tpu" else 3):
+    for _ in range(5 if backend == "tpu" else 2):
         t0 = time.perf_counter()
-        jax.block_until_ready(nms_jit(fmaps))
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(10):
+            out = nms_jit(fmaps)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / 10)
     p50_ms = float(np.median(times)) * 1e3
     _log(f"decode+NMS p50: {p50_ms:.2f} ms/batch of {batch} "
          f"({p50_ms / batch:.3f} ms/img)")

@@ -174,13 +174,25 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
     jax.lax.fori_loop(0, c, per_class, 0)
 
 
+_CLASS_CHUNK = 8  # class padding granularity for the shared kernel
+
+
+# Note on a rejected design: a "class-parallel" v3 kernel (one global
+# fixpoint loop updating all classes per iteration via [CHUNK, K, K] VPU
+# max-reductions) measured ~2x SLOWER than the per-class while-loop above in
+# both dense synthetic and real-detector regimes: the global loop runs until
+# the deepest class converges, re-paying full C*K^2 work per iteration, while
+# the per-class loop exits most classes after 1-2 iterations.
+
+
 def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
                                 score_thresh: float, iou_thresh: float,
                                 interpret: bool = False) -> jax.Array:
     """All-class keep masks over a shared candidate set.
 
     boxes: [B, K, 4]; scores: [B, K, C] -> keep [B, C, K] bool.
-    K must be a multiple of 128; C a multiple of 8 (pad upstream).
+    K must be a multiple of 128; classes are padded to a multiple of 8
+    internally.
     """
     b, k, _ = boxes.shape
     c = scores.shape[2]
@@ -188,6 +200,10 @@ def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
         raise ValueError(f"K must be a multiple of 128, got {k}")
     thresh = jnp.asarray([iou_thresh, score_thresh], jnp.float32)
     scores_ck = jnp.swapaxes(scores, 1, 2)                  # [B, C, K]
+    c_pad = ((c + _CLASS_CHUNK - 1) // _CLASS_CHUNK) * _CLASS_CHUNK
+    if c_pad != c:
+        scores_ck = jnp.pad(scores_ck, ((0, 0), (0, c_pad - c), (0, 0)),
+                            constant_values=-1.0)           # padded -> invalid
 
     keep = pl.pallas_call(
         _nms_shared_kernel,
@@ -195,16 +211,16 @@ def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
         in_specs=[
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, c_pad, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, c_pad, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c_pad, k), jnp.float32),
         interpret=interpret,
     )(boxes.astype(jnp.float32), scores_ck.astype(jnp.float32), thresh)
-    return keep > 0.5
+    return keep[:, :c, :] > 0.5
 
 
 def batched_nms_shared_pallas(boxes: jax.Array, scores: jax.Array, *,
