@@ -231,6 +231,8 @@ def load_config(path: Optional[str] = None,
         with open(path) as f:
             raw = json.load(f)
         for section, values in raw.items():
+            if section.startswith("_"):
+                continue  # "_comment" etc.
             obj = getattr(cfg, section)
             if dataclasses.is_dataclass(obj):
                 for k, v in values.items():

@@ -121,6 +121,24 @@ def batched_nms(boxes: jax.Array, scores: jax.Array, *,
     return jax.vmap(fn)(boxes, scores)
 
 
+def batched_nms_auto(boxes: jax.Array, scores: jax.Array, *,
+                     max_out: int = 50, pre_topk: int = 256,
+                     score_thresh: float = 0.5, iou_thresh: float = 0.5
+                     ) -> Dict[str, jax.Array]:
+    """Backend-dispatching batched per-class NMS.
+
+    On TPU the Pallas suppression kernel is used (the XLA fallback's vmapped
+    sequential loop compiles pathologically slowly there at full detector
+    shapes); elsewhere the pure-XLA path runs.
+    """
+    kwargs = dict(max_out=max_out, pre_topk=pre_topk,
+                  score_thresh=score_thresh, iou_thresh=iou_thresh)
+    if jax.default_backend() == "tpu":
+        from yolov3_tensorflow_tpu.ops.nms_pallas import batched_nms_pallas
+        return batched_nms_pallas(boxes, scores, **kwargs)
+    return batched_nms(boxes, scores, **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Host oracle
 # ---------------------------------------------------------------------------

@@ -62,7 +62,7 @@ def make_dp_eval_forward(cfg: Config, mesh: Mesh, axis_name: str = "data"
     independently; no collectives needed)."""
     from yolov3_tensorflow_tpu.models.decode import predict_boxes
     from yolov3_tensorflow_tpu.models.yolov3 import yolov3_forward
-    from yolov3_tensorflow_tpu.ops.nms import batched_nms
+    from yolov3_tensorflow_tpu.ops.nms import batched_nms_auto
 
     anchors = np.asarray(cfg.anchors, np.float32)
     m, e = cfg.model, cfg.eval
@@ -76,7 +76,7 @@ def make_dp_eval_forward(cfg: Config, mesh: Mesh, axis_name: str = "data"
                                   compute_dtype=compute_dtype)
         boxes, confs, probs = predict_boxes(fmaps, anchors, m.num_classes,
                                             img_size)
-        return batched_nms(boxes, confs * probs, max_out=e.nms_topk,
+        return batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
                            pre_topk=e.pre_nms_topk,
                            score_thresh=e.score_threshold,
                            iou_thresh=e.nms_threshold)

@@ -35,7 +35,7 @@ from yolov3_tensorflow_tpu.evaluation.voc import evaluate_map, parse_gt_records
 from yolov3_tensorflow_tpu.models.decode import predict_boxes
 from yolov3_tensorflow_tpu.models.yolov3 import init_yolov3, yolov3_forward
 from yolov3_tensorflow_tpu.ops.losses import compute_loss, l2_regularization
-from yolov3_tensorflow_tpu.ops.nms import batched_nms
+from yolov3_tensorflow_tpu.ops.nms import batched_nms_auto
 from yolov3_tensorflow_tpu.train.checkpoint import (CheckpointStore,
                                                     partial_restore)
 from yolov3_tensorflow_tpu.train.optimizers import (build_optimizer,
@@ -110,7 +110,7 @@ def make_eval_step(cfg: Config) -> Callable:
                               use_focal_loss=m.use_focal_loss)
         boxes, confs, probs = predict_boxes(fmaps, anchors, m.num_classes,
                                             img_size)
-        dets = batched_nms(boxes, confs * probs, max_out=e.nms_topk,
+        dets = batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
                            pre_topk=e.pre_nms_topk,
                            score_thresh=e.score_threshold,
                            iou_thresh=e.nms_threshold)
