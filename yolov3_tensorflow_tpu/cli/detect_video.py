@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--show", action="store_true")
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = all); useful headless")
+    p.add_argument("--device_preprocess", type=str2bool, default=True,
+                   help="letterbox+normalize on the TPU from raw uint8 "
+                        "frames (4x less host->device traffic); implies "
+                        "letterbox_resize")
     return p
 
 
@@ -64,11 +68,21 @@ def main(argv=None) -> int:
         writer = cv2.VideoWriter(args.output, fourcc, fps, (width, height))
 
     variables = load_variables(args.restore_path, num_classes)
-    detect = build_detector(
-        variables, anchors, num_classes,
-        (args.new_size[1], args.new_size[0]),
-        max_out=args.max_boxes, score_thresh=args.score_thresh,
-        iou_thresh=args.nms_thresh)
+    use_device_pre = args.device_preprocess and args.letterbox_resize
+    if use_device_pre:
+        from yolov3_tensorflow_tpu.ops.preprocess import (
+            build_streaming_detector, letterbox_params)
+        detect_stream, invert_stream = build_streaming_detector(
+            variables, anchors, num_classes, (height, width),
+            (args.new_size[1], args.new_size[0]), max_out=args.max_boxes,
+            score_thresh=args.score_thresh, iou_thresh=args.nms_thresh,
+            bgr_input=True)
+    else:
+        detect = build_detector(
+            variables, anchors, num_classes,
+            (args.new_size[1], args.new_size[0]),
+            max_out=args.max_boxes, score_thresh=args.score_thresh,
+            iou_thresh=args.nms_thresh)
 
     pending = None  # (frame, inv, device detections) in flight
     frames = 0
@@ -78,7 +92,7 @@ def main(argv=None) -> int:
         frame, inv, dets = item
         t0 = time.time()
         boxes, scores, labels = detections_to_numpy(dets, 0)  # device sync
-        boxes = invert_boxes(boxes, inv)
+        boxes = invert_stream(boxes) if inv is None else invert_boxes(boxes, inv)
         for box, score, label in zip(boxes, scores, labels):
             plot_one_box(frame, box,
                          label=f"{classes[int(label)]}, {score * 100:.2f}%",
@@ -96,8 +110,12 @@ def main(argv=None) -> int:
         ok, frame = vid.read()
         if not ok or (args.max_frames and frames >= args.max_frames):
             break
-        inp, inv = preprocess(frame, args.new_size, args.letterbox_resize)
-        dets = detect(inp)          # async dispatch; no host sync yet
+        if use_device_pre:
+            inv = None
+            dets = detect_stream(np.asarray(frame[None]))  # raw uint8 BGR
+        else:
+            inp, inv = preprocess(frame, args.new_size, args.letterbox_resize)
+            dets = detect(inp)      # async dispatch; no host sync yet
         if pending is not None:
             finish(pending)         # overlap: consume previous frame
         pending = (frame, inv, dets)
