@@ -64,28 +64,93 @@ def flatten_feature_maps(feature_maps: Sequence[jax.Array], num_classes: int
     return jnp.concatenate(rows, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Lane-aligned serving head
+# ---------------------------------------------------------------------------
+#
+# The natural head layout packs each anchor's (5+C) block back-to-back
+# (channels 3*(5+C) = 255 for COCO), so downstream reshapes/slices of the
+# per-anchor rows cross TPU lane boundaries. This utility instead pads each
+# anchor's block to the 128-lane width inside the OUTPUT CONV WEIGHTS so that
+# [B,Hg,Wg,384] -> [B,HgWg*3,128] is a layout-exact reshape (+~3% model
+# FLOPs). Measured outcome on v5e: bit-identical outputs but NO end-to-end
+# speedup in the fused detector (XLA's fusion already absorbs the relayouts),
+# so it is OFF by default — kept as a tested building block for future
+# postprocess kernels that consume aligned rows directly.
+
+_LANE = 128
+
+
+def head_row_width(num_classes: int) -> int:
+    """Per-anchor channel block, padded to the lane width."""
+    need = 5 + num_classes
+    return ((need + _LANE - 1) // _LANE) * _LANE
+
+
+def pad_output_convs_aligned(head_params: dict, num_classes: int) -> dict:
+    """Pad the 3 detection convs' weights/bias from 3*(5+C) to 3*row_width
+    output channels (anchor blocks lane-aligned, zeros elsewhere)."""
+    row = head_row_width(num_classes)
+    need = 5 + num_classes
+    out = dict(head_params)
+    for name in ("conv_6", "conv_14", "conv_22"):
+        p = head_params[name]
+        w = np.asarray(p["w"], np.float32)            # [1,1,cin,3*need]
+        b = np.asarray(p["b"], np.float32)
+        cin = w.shape[2]
+        w2 = np.zeros((1, 1, cin, 3 * row), np.float32)
+        b2 = np.zeros((3 * row,), np.float32)
+        for a in range(3):
+            w2[..., a * row:a * row + need] = w[..., a * need:(a + 1) * need]
+            b2[a * row:a * row + need] = b[a * need:(a + 1) * need]
+        out[name] = {"w": jnp.asarray(w2).astype(jnp.asarray(p["w"]).dtype),
+                     "b": jnp.asarray(b2)}
+    return out
+
+
+def flatten_feature_maps_aligned(feature_maps: Sequence[jax.Array],
+                                 num_classes: int) -> jax.Array:
+    """Aligned-head fmaps [N,Hg,Wg,3*row] x3 -> [N, A, row] (zero-cost
+    reshapes; row = head_row_width)."""
+    row = head_row_width(num_classes)
+    parts = []
+    for fmap in feature_maps:
+        n = fmap.shape[0]
+        parts.append(fmap.reshape(n, -1, row))
+    return jnp.concatenate(parts, axis=1)
+
+
 def postprocess_prefilter(feature_maps: Sequence[jax.Array],
                           anchors: np.ndarray, num_classes: int,
                           img_size: Tuple[int, int], *,
                           max_out: int = 50, box_topk: int = 256,
                           pre_topk: int = 128, score_thresh: float = 0.3,
                           iou_thresh: float = 0.45,
-                          use_pallas: Optional[bool] = None
+                          use_pallas: Optional[bool] = None,
+                          aligned_head: bool = False
                           ) -> Dict[str, jax.Array]:
     """Fast batched detection from raw feature maps.
 
     Returns the same contract as ops.postprocess: dict of [B, C*max_out, ...]
     ("boxes" xyxy input pixels, "scores", "labels", "valid").
+
+    aligned_head=True expects feature maps produced with lane-aligned output
+    convs (pad_output_convs_aligned) — removes the relayout copies that
+    otherwise dominate this stage.
     """
     img_h, img_w = int(img_size[0]), int(img_size[1])
     anchors = np.asarray(anchors, np.float32)
-    raw = flatten_feature_maps(feature_maps, num_classes)   # [B, A, 5+C] bf16
+    if aligned_head:
+        raw = flatten_feature_maps_aligned(feature_maps, num_classes)
+    else:
+        raw = flatten_feature_maps(feature_maps, num_classes)  # [B,A,5+C]
     b, a = raw.shape[0], raw.shape[1]
     k_box = min(box_topk, a)
 
     # 1. objectness prefilter on logits (no [B, A, C] materialization)
     conf_logit = raw[..., 4].astype(jnp.float32)             # [B, A]
-    best_cls_logit = jnp.max(raw[..., 5:], axis=-1).astype(jnp.float32)
+    best_cls_logit = jnp.max(raw[..., 5:5 + num_classes],
+                             axis=-1).astype(jnp.float32)
     obj_score = jax.nn.sigmoid(conf_logit) * jax.nn.sigmoid(best_cls_logit)
 
     # 2. one top_k per image
@@ -111,7 +176,7 @@ def postprocess_prefilter(feature_maps: Sequence[jax.Array],
                       axis=-1)                               # [B, K, 4]
 
     conf = jax.nn.sigmoid(cand_rows[..., 4:5])
-    probs = jax.nn.sigmoid(cand_rows[..., 5:])
+    probs = jax.nn.sigmoid(cand_rows[..., 5:5 + num_classes])
     scores = conf * probs                                    # [B, K, C]
 
     # 4. per-class NMS over the candidate set

@@ -43,12 +43,18 @@ def suppression_mask(boxes: jax.Array, valid: jax.Array,
     iou = iou_xyxy(boxes, boxes)                      # [K, K]
     ranks = jnp.arange(k)
 
-    def body(i, keep):
+    # scan over precomputed IoU rows (each step consumes one row as a scanned
+    # input) instead of a fori_loop with dynamic row indexing — the
+    # dynamic-slice-in-loop form compiles pathologically slowly on TPU when
+    # vmapped over many (image, class) pairs.
+    def step(keep, row):
+        i, iou_row = row
         # if candidate i survived, kill every lower-ranked overlapping box
-        suppress = keep[i] & (iou[i] > iou_thresh) & (ranks > i)
-        return keep & ~suppress
+        suppress = keep[i] & (iou_row > iou_thresh) & (ranks > i)
+        return keep & ~suppress, None
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    keep, _ = jax.lax.scan(step, valid, (ranks, iou))
+    return keep
 
 
 def _single_class_nms(boxes: jax.Array, scores: jax.Array, *,
