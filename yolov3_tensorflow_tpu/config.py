@@ -126,6 +126,10 @@ class TrainConfig:
     save_dir: str = "./checkpoint/"
     log_dir: str = "./data/logs/"
     progress_log_path: str = "./data/progress.log"
+    # resume from the latest checkpoint in save_dir if one exists (the
+    # reference's crash recovery is fully manual: set args.global_step +
+    # restore_path by hand, README.md:180)
+    auto_resume: bool = False
 
     # data parallel mesh size (1 = single chip; reference is single-GPU only)
     num_data_parallel: int = 1

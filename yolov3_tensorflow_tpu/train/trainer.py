@@ -298,7 +298,21 @@ class Trainer:
         cfg = self.cfg
         if state is None:
             state = self.init_state()
-            if cfg.train.restore_path:
+            latest = self.store.latest() if cfg.train.auto_resume else None
+            if latest is not None:
+                # crash recovery: full restore from the newest checkpoint in
+                # save_dir (params-only ckpts restore what they have);
+                # overrides restore_path
+                raw = self.store.restore(latest)
+                target = {k: state[k] for k in state if k in raw}
+                restored = self.store.restore(latest, target=target)
+                state = dict(state)
+                state.update(jax.tree_util.tree_map(jnp.asarray, restored))
+                self.log.info("auto-resumed from checkpoint %s "
+                              "(step %d)", latest, int(state["step"]))
+                print(f"auto-resumed from {latest} at step "
+                      f"{int(state['step'])}")
+            elif cfg.train.restore_path:
                 state = self.restore_into(state, cfg.train.restore_path)
 
         train_loader = DataLoader(
