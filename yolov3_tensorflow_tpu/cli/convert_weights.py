@@ -13,7 +13,7 @@ import os
 import jax
 import numpy as np
 
-from yolov3_tensorflow_tpu.cli.common import load_anchors, load_classes
+from yolov3_tensorflow_tpu.cli.common import load_classes
 from yolov3_tensorflow_tpu.models.yolov3 import init_yolov3
 from yolov3_tensorflow_tpu.train.checkpoint import CheckpointStore
 from yolov3_tensorflow_tpu.utils.weights import load_darknet_weights

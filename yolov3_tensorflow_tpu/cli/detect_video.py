@@ -71,7 +71,7 @@ def main(argv=None) -> int:
     use_device_pre = args.device_preprocess and args.letterbox_resize
     if use_device_pre:
         from yolov3_tensorflow_tpu.ops.preprocess import (
-            build_streaming_detector, letterbox_params)
+            build_streaming_detector)
         detect_stream, invert_stream = build_streaming_detector(
             variables, anchors, num_classes, (height, width),
             (args.new_size[1], args.new_size[0]), max_out=args.max_boxes,

@@ -7,7 +7,7 @@ Line format (same as the reference, data_utils.py:15-48):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

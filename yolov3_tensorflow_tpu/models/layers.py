@@ -15,7 +15,6 @@ symmetric (k-1)//2 padding, which is what `conv2d` below applies.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -28,14 +28,12 @@ convs (the reference's Conv_6/Conv_14/Conv_22, args.py:57).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolov3_tensorflow_tpu.models import layers
 from yolov3_tensorflow_tpu.models.layers import (
     conv_bias, conv_bn_leaky, conv_folded, init_conv_bias, init_conv_bn,
     upsample_nearest_2x,

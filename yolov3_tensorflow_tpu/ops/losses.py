@@ -23,7 +23,6 @@ Loss terms (per scale, summed over 3 scales, each term /batch_size):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Sequence, Tuple
 
 import jax

@@ -21,7 +21,7 @@ correct host oracle (the reference ships its own numpy NMS as nms_utils.py:51).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

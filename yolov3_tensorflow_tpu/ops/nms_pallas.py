@@ -25,7 +25,6 @@ ops.nms (boxes sorted score-descending + validity mask).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -10,7 +10,6 @@ with zero host round-trips per batch.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

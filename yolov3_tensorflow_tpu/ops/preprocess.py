@@ -13,7 +13,6 @@ Static-shape contract: the ORIGINAL frame size is fixed per compiled program
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -23,7 +23,7 @@ run `calibrate_activation_scales` + an mAP eval on real data before serving.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ Also hosts the eval-side sharded detector used for batched inference.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from yolov3_tensorflow_tpu.config import Config
-from yolov3_tensorflow_tpu.train.trainer import TrainState, make_train_step
+from yolov3_tensorflow_tpu.train.trainer import make_train_step
 
 
 def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,

@@ -17,7 +17,7 @@ training script runs on one chip, one slice, or many slices.
 from __future__ import annotations
 
 import os
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import numpy as np

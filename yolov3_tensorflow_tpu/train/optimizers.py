@@ -9,7 +9,7 @@ optax.masked transform over parameter-path prefixes.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,10 +15,8 @@ TPU answer to the reference's free-form dynamic shapes (SURVEY.md §5).
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
-import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -15,8 +15,6 @@ import json
 import os
 import struct
 import time
-from typing import Optional
-
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli), table-driven — required by the TFRecord framing.
 # ---------------------------------------------------------------------------

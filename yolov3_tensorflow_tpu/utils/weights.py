@@ -18,8 +18,7 @@ Darknet serialization, per conv layer:
 
 from __future__ import annotations
 
-import io
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
