@@ -86,6 +86,9 @@ class ModelConfig:
     use_focal_loss: bool = True       # args.py:65
     # TPU compute dtype for convs; decode/loss stay float32.
     compute_dtype: str = "bfloat16"
+    # box regression loss: "reference" (xy/wh MSE, exact reference parity,
+    # model.py:248-277) or "giou" (modern 1-GIoU on decoded boxes)
+    box_loss: str = "reference"
 
 
 @dataclass

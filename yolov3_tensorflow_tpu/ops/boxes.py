@@ -50,6 +50,34 @@ def iou_xywh(pred_boxes: jax.Array, true_boxes: jax.Array,
     return inter / (pred_area + true_area - inter + eps)
 
 
+def giou_xywh(boxes_a: jax.Array, boxes_b: jax.Array,
+              eps: float = 1e-10) -> jax.Array:
+    """Elementwise Generalized IoU between center-format boxes.
+
+    boxes_a/boxes_b: [..., 4] (cx, cy, w, h) -> [...] in [-1, 1].
+    GIoU = IoU - (enclosing_area - union) / enclosing_area
+    (Rezatofighi et al. 2019 — the optional modern box loss; the reference
+    only has the grid-space MSE terms, model.py:248-277).
+    """
+    a_min = boxes_a[..., 0:2] - boxes_a[..., 2:4] * 0.5
+    a_max = boxes_a[..., 0:2] + boxes_a[..., 2:4] * 0.5
+    b_min = boxes_b[..., 0:2] - boxes_b[..., 2:4] * 0.5
+    b_max = boxes_b[..., 0:2] + boxes_b[..., 2:4] * 0.5
+
+    inter_wh = jnp.maximum(jnp.minimum(a_max, b_max)
+                           - jnp.maximum(a_min, b_min), 0.0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    area_a = boxes_a[..., 2] * boxes_a[..., 3]
+    area_b = boxes_b[..., 2] * boxes_b[..., 3]
+    union = area_a + area_b - inter
+    iou = inter / (union + eps)
+
+    enc_wh = jnp.maximum(jnp.maximum(a_max, b_max)
+                         - jnp.minimum(a_min, b_min), 0.0)
+    enc = enc_wh[..., 0] * enc_wh[..., 1]
+    return iou - (enc - union) / (enc + eps)
+
+
 def iou_xyxy(boxes_a: jax.Array, boxes_b: jax.Array,
              eps: float = 1e-10) -> jax.Array:
     """Pairwise IoU between corner-format boxes: [N, 4] x [M, 4] -> [N, M].

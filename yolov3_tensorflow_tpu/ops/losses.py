@@ -69,8 +69,12 @@ def loss_scale(feature_map: jax.Array, y_true: jax.Array,
                anchors: jax.Array, num_classes: int,
                img_size: Tuple[int, int], *,
                use_label_smooth: bool = False, use_focal_loss: bool = False,
-               max_gt: int = 64) -> Tuple[jax.Array, ...]:
+               max_gt: int = 64, box_loss: str = "reference"
+               ) -> Tuple[jax.Array, ...]:
     """Loss for one scale; reference model.py `loss_layer` (model.py:192-304).
+
+    box_loss: "reference" (grid-space xy/wh MSE, exact parity) or "giou"
+    (1 - GIoU on decoded boxes; reported under the "xy" term, "wh"=0).
 
     feature_map: [N, Hg, Wg, 3*(5+C)] raw conv output (fp32).
     y_true: [N, Hg, Wg, 3, 6+C]; channels 0:4 = (cx, cy, w, h) in input
@@ -111,10 +115,19 @@ def loss_scale(feature_map: jax.Array, y_true: jax.Array,
 
     mix_w = y_true[..., -1:]
 
-    xy_loss = jnp.sum(jnp.square(true_xy - pred_xy) * object_mask
-                      * box_loss_scale * mix_w) / n_f
-    wh_loss = jnp.sum(jnp.square(true_tw_th - pred_tw_th) * object_mask
-                      * box_loss_scale * mix_w) / n_f
+    if box_loss == "giou":
+        # modern alternative to the reference's grid-space MSE terms:
+        # 1 - GIoU on the decoded absolute boxes, same masking/weights
+        from yolov3_tensorflow_tpu.ops.boxes import giou_xywh
+        giou = giou_xywh(pred_boxes, y_true[..., 0:4])[..., None]
+        xy_loss = jnp.sum((1.0 - giou) * object_mask
+                          * box_loss_scale * mix_w) / n_f
+        wh_loss = jnp.float32(0.0)
+    else:
+        xy_loss = jnp.sum(jnp.square(true_xy - pred_xy) * object_mask
+                          * box_loss_scale * mix_w) / n_f
+        wh_loss = jnp.sum(jnp.square(true_tw_th - pred_tw_th) * object_mask
+                          * box_loss_scale * mix_w) / n_f
 
     conf_pos = object_mask * sigmoid_bce(conf_logits, object_mask)
     conf_neg = (1.0 - object_mask) * ignore_mask * sigmoid_bce(
@@ -142,7 +155,8 @@ def compute_loss(feature_maps: Sequence[jax.Array],
                  y_true: Sequence[jax.Array], anchors: np.ndarray,
                  num_classes: int, img_size: Tuple[int, int], *,
                  use_label_smooth: bool = False, use_focal_loss: bool = False,
-                 max_gt: int = 64) -> Dict[str, jax.Array]:
+                 max_gt: int = 64, box_loss: str = "reference"
+                 ) -> Dict[str, jax.Array]:
     """Total loss over 3 scales (reference model.py:348-365).
 
     Returns {"total", "xy", "wh", "conf", "class"} scalars.
@@ -153,7 +167,8 @@ def compute_loss(feature_maps: Sequence[jax.Array],
     for fmap, yt, group in zip(feature_maps, y_true, groups):
         out = loss_scale(fmap, yt, group, num_classes, img_size,
                          use_label_smooth=use_label_smooth,
-                         use_focal_loss=use_focal_loss, max_gt=max_gt)
+                         use_focal_loss=use_focal_loss, max_gt=max_gt,
+                         box_loss=box_loss)
         terms = [t + o for t, o in zip(terms, out)]
     xy, wh, conf, cls = terms
     return {"total": xy + wh + conf + cls, "xy": xy, "wh": wh,

@@ -70,7 +70,8 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                 fmaps, y_true, anchors, m.num_classes, img_size,
                 use_label_smooth=m.use_label_smooth,
                 use_focal_loss=m.use_focal_loss,
-                max_gt=cfg.data.max_boxes_per_image)
+                max_gt=cfg.data.max_boxes_per_image,
+                box_loss=m.box_loss)
             l2 = l2_regularization(params, m.weight_decay)
             return losses["total"] + l2, (losses, l2, new_stats)
 
@@ -107,7 +108,8 @@ def make_eval_step(cfg: Config) -> Callable:
         losses = compute_loss(fmaps, y_true, anchors, m.num_classes, img_size,
                               use_label_smooth=m.use_label_smooth,
                               use_focal_loss=m.use_focal_loss,
-                              max_gt=cfg.data.max_boxes_per_image)
+                              max_gt=cfg.data.max_boxes_per_image,
+                              box_loss=m.box_loss)
         boxes, confs, probs = predict_boxes(fmaps, anchors, m.num_classes,
                                             img_size)
         dets = batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
