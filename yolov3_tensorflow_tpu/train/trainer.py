@@ -162,10 +162,34 @@ class Trainer:
             "opt_state": self.optimizer.init(variables["params"]),
             "step": jnp.asarray(self.cfg.train.global_step, jnp.int32),
         }
-        self._train_step = jax.jit(
-            make_train_step(self.cfg, self.optimizer), donate_argnums=(0,))
+
+        ndp = self.cfg.train.num_data_parallel
+        if ndp > 1:
+            # data-parallel training over a device mesh: sharded batches,
+            # pmean gradients, cross-replica sync BN (SURVEY.md §2.3 plan)
+            from yolov3_tensorflow_tpu.parallel.data_parallel import (
+                make_dp_train_step)
+            from yolov3_tensorflow_tpu.parallel.mesh import (make_data_mesh,
+                                                             replicate)
+            self._mesh = make_data_mesh(ndp)
+            self._train_step = make_dp_train_step(self.cfg, self.optimizer,
+                                                  self._mesh)
+            state = replicate(self._mesh,
+                              jax.tree_util.tree_map(jnp.asarray, state))
+        else:
+            self._mesh = None
+            self._train_step = jax.jit(
+                make_train_step(self.cfg, self.optimizer), donate_argnums=(0,))
         self._eval_step = make_eval_step(self.cfg)
         return state
+
+    def _put_batch(self, array) -> jax.Array:
+        """Host batch -> device(s): sharded over the mesh data axis when
+        data-parallel, plain transfer otherwise."""
+        if self._mesh is not None:
+            from yolov3_tensorflow_tpu.parallel.mesh import shard_batch
+            return shard_batch(self._mesh, jnp.asarray(array))
+        return jnp.asarray(array)
 
     def restore_into(self, state: TrainState, path: str) -> TrainState:
         """Partial restore honoring restore_include/exclude
@@ -201,8 +225,8 @@ class Trainer:
                   ("total", "xy", "wh", "conf", "class")}
         for batch in loader.epoch(epoch):
             state, metrics = self._train_step(
-                state, jnp.asarray(batch.images),
-                tuple(jnp.asarray(y) for y in batch.y_true))
+                state, self._put_batch(batch.images),
+                tuple(self._put_batch(y) for y in batch.y_true))
             step = int(state["step"])
             n = batch.images.shape[0]
             host_metrics = {}
