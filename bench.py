@@ -81,7 +81,7 @@ def main() -> None:
         return postprocess_prefilter(
             fmaps, anchors, num_classes, (416, 416), max_out=50,
             box_topk=128, pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, approx_topk=use_pallas)
 
     @jax.jit
     def detect_bf16(images, feedback):
