@@ -50,8 +50,13 @@ def _measure_chained(fn, images, n1: int = 5, n2: int = 25) -> float:
         np.asarray(fb)
         return time.perf_counter() - t0
 
-    t1, t2 = run(n1), run(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    # two independent differentials; take the min (clock/thermal noise on a
+    # shared dev chip only ever inflates the measurement)
+    diffs = []
+    for _ in range(2):
+        t1, t2 = run(n1), run(n2)
+        diffs.append((t2 - t1) / (n2 - n1))
+    return max(min(diffs), 1e-9)
 
 
 def main() -> None:
