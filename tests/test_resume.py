@@ -47,13 +47,16 @@ def cfg(tmp_path):
 
 def test_auto_resume_restores_step_and_optimizer(cfg):
     t1 = Trainer(cfg, seed=0)
-    state = t1.fit()                     # 1 epoch = 1 step
+    state = t1.fit()                     # 1 epoch = 1 step ("crash" after it)
     t1.store.save("model-epoch_0_step_1", state)
     step_before = int(state["step"])
     assert step_before == 1
 
+    # the "restarted" run wants 2 epochs total; epoch 0 already ran, so the
+    # resumed fit must do exactly the remaining epoch (not 2 more)
+    cfg.train.total_epochs = 2
     t2 = Trainer(cfg, seed=0)
-    state2 = t2.fit()                    # resumes at step 1, runs 1 more
+    state2 = t2.fit()
     assert int(state2["step"]) == step_before + 1
     # resumed params differ from fresh init (they carry t1's update)
     fresh = Trainer(cfg, seed=0).init_state()
@@ -67,3 +70,24 @@ def test_no_resume_when_disabled(cfg):
     t = Trainer(cfg, seed=0)
     state = t.fit()
     assert int(state["step"]) == 1
+
+
+def test_resume_of_finished_run_adds_no_epochs(cfg):
+    t1 = Trainer(cfg, seed=0)
+    state = t1.fit()                     # completes all 1 epochs
+    t1.store.save("model-epoch_0_step_1", state)
+    state2 = Trainer(cfg, seed=0).fit()  # nothing left to train
+    assert int(state2["step"]) == int(state["step"])
+
+
+def test_latest_checkpoint_is_by_mtime_not_name(tmp_path):
+    import time
+
+    from yolov3_tensorflow_tpu.train.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "s"))
+    tree = {"step": np.int32(1)}
+    store.save("model-epoch_9_step_9", tree)   # older, sorts last by name
+    time.sleep(0.05)
+    store.save("model-epoch_10_step_10", tree)  # newer, sorts first by name
+    assert store.latest() == "model-epoch_10_step_10"

@@ -98,6 +98,11 @@ class TrainConfig:
     batch_size: int = 6
     total_epochs: int = 100
     train_evaluation_step: int = 100
+    # flush device-side metric buffers to meters/TensorBoard every N steps.
+    # The reference fetches every scalar every step (train.py:138-148); here
+    # steps run async on device and only one packed [K, N] array leaves the
+    # chip per flush, so the hot loop never blocks on host round trips.
+    log_step: int = 10
     val_evaluation_epoch: int = 2
     save_epoch: int = 10
     global_step: int = 0              # resume offset (args.py:29)
@@ -145,7 +150,12 @@ class EvalConfig:
     nms_threshold: float = 0.45
     score_threshold: float = 0.01
     nms_topk: int = 150               # per-class cap, like gpu_nms max_boxes
-    pre_nms_topk: int = 256           # per-class candidate pool (fixed shape)
+    # Per-class candidate pool entering NMS (TPU needs a fixed shape; the
+    # reference's gpu_nms suppresses over ALL boxes above score_threshold,
+    # nms_utils.py:30-39). With score_threshold=0.01 a crowded image can have
+    # >256 candidates in one class; raise this for strict mAP evaluation —
+    # the exact NMS path cost grows only linearly in it.
+    pre_nms_topk: int = 256
     eval_threshold: float = 0.5
     use_voc_07_metric: bool = False
     batch_size: int = 8

@@ -65,6 +65,10 @@ def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
     if isinstance(line, tuple):
         a1, a2 = parse_line(line[0]), parse_line(line[1])
         img1, img2 = cv2.imread(a1.path), cv2.imread(a2.path)
+        if img1 is None:
+            raise FileNotFoundError(f"cannot read image: {a1.path}")
+        if img2 is None:
+            raise FileNotFoundError(f"cannot read image: {a2.path}")
         img, boxes = augment.mix_up(img1, img2, a1.boxes, a2.boxes, rng)
         labels = np.concatenate([a1.labels, a2.labels])
         img_idx = a2.index

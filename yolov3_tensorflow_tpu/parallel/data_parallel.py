@@ -29,7 +29,8 @@ from yolov3_tensorflow_tpu.train.trainer import make_train_step
 
 
 def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
-                       mesh: Mesh, axis_name: str = "data") -> Callable:
+                       mesh: Mesh, axis_name: str = "data",
+                       schedule: Callable = None) -> Callable:
     """Build the sharded train step.
 
     Call with (state, images, y_true) where `images`/`y_true` have a global
@@ -37,7 +38,8 @@ def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     state remains replicated because gradients are averaged before the
     (deterministic) optimizer update.
     """
-    step_fn = make_train_step(cfg, optimizer, axis_name=axis_name)
+    step_fn = make_train_step(cfg, optimizer, axis_name=axis_name,
+                              schedule=schedule)
 
     def wrapped(state, images, y_true):
         new_state, metrics = step_fn(state, images, y_true)

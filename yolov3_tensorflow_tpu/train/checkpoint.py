@@ -68,8 +68,16 @@ class CheckpointStore:
             if os.path.isdir(os.path.join(self.directory, d)))
 
     def latest(self) -> Optional[str]:
+        """Most recently *written* checkpoint (by directory mtime).
+
+        Name ordering would be wrong here: 'model-epoch_9...' sorts after
+        'model-epoch_10...' and periodic saves after best-mAP saves, so a
+        lexicographic pick could auto-resume an older checkpoint.
+        """
         names = self.list()
-        return names[-1] if names else None
+        if not names:
+            return None
+        return max(names, key=lambda n: os.path.getmtime(self.path(n)))
 
 
 def _path_key(path) -> str:

@@ -39,18 +39,22 @@ from yolov3_tensorflow_tpu.train.checkpoint import (CheckpointStore,
 from yolov3_tensorflow_tpu.train.optimizers import (build_optimizer,
                                                     path_prefix_mask)
 from yolov3_tensorflow_tpu.train.schedules import build_schedule
+from yolov3_tensorflow_tpu.utils.profiling import StepTimer
 from yolov3_tensorflow_tpu.utils.summary import SummaryWriter
 
 TrainState = Dict[str, Any]  # {"params", "batch_stats", "opt_state", "step"}
 
 
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
-                    axis_name: Optional[str] = None) -> Callable:
+                    axis_name: Optional[str] = None,
+                    schedule: Optional[Callable] = None) -> Callable:
     """Build the pure train-step function (jit/shard_map-ready).
 
     state -> batch(images, y_true tuple) -> (new_state, metrics). When
     `axis_name` is set (data-parallel shard_map), gradients and BN moments
-    are averaged across the mesh axis.
+    are averaged across the mesh axis. When `schedule` is given, the current
+    learning rate is computed inside the jitted step and returned in
+    `metrics["lr"]` so the host never replays the schedule.
     """
     anchors = np.asarray(cfg.anchors, np.float32)
     m = cfg.model
@@ -85,6 +89,8 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
         new_state = {"params": new_params, "batch_stats": new_stats,
                      "opt_state": new_opt, "step": state["step"] + 1}
         metrics = {**losses, "l2": l2}
+        if schedule is not None:
+            metrics["lr"] = schedule(new_state["step"].astype(jnp.float32))
         return new_state, metrics
 
     return train_step
@@ -173,13 +179,15 @@ class Trainer:
                                                              replicate)
             self._mesh = make_data_mesh(ndp)
             self._train_step = make_dp_train_step(self.cfg, self.optimizer,
-                                                  self._mesh)
+                                                  self._mesh,
+                                                  schedule=self.schedule)
             state = replicate(self._mesh,
                               jax.tree_util.tree_map(jnp.asarray, state))
         else:
             self._mesh = None
             self._train_step = jax.jit(
-                make_train_step(self.cfg, self.optimizer), donate_argnums=(0,))
+                make_train_step(self.cfg, self.optimizer,
+                                schedule=self.schedule), donate_argnums=(0,))
         self._eval_step = make_eval_step(self.cfg)
         return state
 
@@ -220,28 +228,70 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, loader: DataLoader, epoch: int,
                     val_loader: Optional[DataLoader] = None) -> TrainState:
+        """One epoch, fully async-dispatched.
+
+        Steps queue on the device back to back; per-step metric scalars stay
+        on device in `pending` and leave the chip as ONE packed [K, N] array
+        every `train.log_step` steps. The host never blocks inside the step
+        loop — the exact round-trip the reference pays every iteration
+        (train.py:138-148) and that this trainer's round-1 version still paid
+        via per-step float() casts.
+        """
+        import time
+
         cfg = self.cfg
         meters = {k: AverageMeter() for k in
                   ("total", "xy", "wh", "conf", "class")}
+        timer = StepTimer()
+        step = int(state["step"])  # one sync at epoch start
+        flush_every = max(1, cfg.train.log_step)
+        pending: list = []  # [(step, batch_n, device-metrics dict)]
+        last_lr = 0.0
+        t_prev = time.perf_counter()
+
+        def flush():
+            nonlocal pending, last_lr, t_prev
+            if not pending:
+                return
+            keys = sorted(pending[0][2])
+            packed = jnp.stack([jnp.stack([m[k] for _, _, m in pending])
+                                for k in keys])
+            host = np.asarray(jax.device_get(packed))  # one host round trip
+            now = time.perf_counter()
+            per_step = (now - t_prev) / len(pending)
+            t_prev = now
+            cols = {k: host[i] for i, k in enumerate(keys)}
+            for j, (s, n, _) in enumerate(pending):
+                timer.record(per_step)
+                for k in meters:
+                    meters[k].update(float(cols[k][j]), n)
+                for k in meters:
+                    self.writer.scalar(f"train_batch_statistics/loss_{k}",
+                                       float(cols[k][j]), s)
+                self.writer.scalar("train_batch_statistics/loss_l2",
+                                   float(cols["l2"][j]), s)
+                if "lr" in cols:
+                    self.writer.scalar("learning_rate", float(cols["lr"][j]), s)
+            if "lr" in cols:
+                last_lr = float(cols["lr"][-1])
+            pending = []
+            if np.isnan(meters["total"].average):
+                # NaN abort (train.py:163-166)
+                raise ArithmeticError(
+                    "Gradient exploded! Please train again and you may "
+                    "need modify some parameters.")
+
         for batch in loader.epoch(epoch):
             state, metrics = self._train_step(
                 state, self._put_batch(batch.images),
                 tuple(self._put_batch(y) for y in batch.y_true))
-            step = int(state["step"])
-            n = batch.images.shape[0]
-            host_metrics = {}
-            for k in meters:
-                host_metrics[k] = float(metrics[k])
-                meters[k].update(host_metrics[k], n)
-            lr = float(self.schedule(jnp.asarray(step, jnp.float32)))
-            for k, v in host_metrics.items():
-                self.writer.scalar(f"train_batch_statistics/loss_{k}", v, step)
-            self.writer.scalar("train_batch_statistics/loss_l2",
-                               float(metrics["l2"]), step)
-            self.writer.scalar("learning_rate", lr, step)
-
-            if (cfg.train.train_evaluation_step and step > 0
-                    and step % cfg.train.train_evaluation_step == 0):
+            step += 1
+            pending.append((step, batch.images.shape[0], metrics))
+            eval_now = (cfg.train.train_evaluation_step and step > 0
+                        and step % cfg.train.train_evaluation_step == 0)
+            if len(pending) >= flush_every or eval_now:
+                flush()
+            if eval_now:
                 _, dets = self._eval_step(
                     state, jnp.asarray(batch.images),
                     tuple(jnp.asarray(y) for y in batch.y_true))
@@ -256,19 +306,26 @@ class Trainer:
                         f"conf: {meters['conf'].average:.2f}, "
                         f"class: {meters['class'].average:.2f} | "
                         f"Last batch: rec: {recall:.3f}, "
-                        f"prec: {precision:.3f} | lr: {lr:.5g}")
+                        f"prec: {precision:.3f} | lr: {last_lr:.5g}")
                 print(info)
                 self.log.info(info)
                 self.writer.scalar("evaluation/train_batch_recall", recall, step)
                 self.writer.scalar("evaluation/train_batch_precision",
                                    precision, step)
-                if np.isnan(meters["total"].average):
-                    # NaN abort (train.py:163-166)
-                    raise ArithmeticError(
-                        "Gradient exploded! Please train again and you may "
-                        "need modify some parameters.")
+                t_prev = time.perf_counter()  # exclude eval from step timing
+        flush()
         self._last_epoch_loss = meters["total"].average
-        self._last_lr = float(self.schedule(state["step"].astype(jnp.float32)))
+        self._last_lr = last_lr or float(
+            self.schedule(jnp.asarray(step, jnp.float32)))
+        stats = timer.summary()
+        if stats.get("count"):
+            info = (f"Epoch {epoch} step time: p50 {stats['p50_ms']:.1f} ms, "
+                    f"p95 {stats['p95_ms']:.1f} ms, "
+                    f"mean {stats['mean_ms']:.1f} ms over {stats['count']} steps")
+            self.log.info(info)
+            self.writer.scalar("train_batch_statistics/step_time_ms",
+                               stats["p50_ms"], step)
+        self._last_step_stats = stats
         return state
 
     def validate(self, state: TrainState, val_loader: DataLoader,
@@ -358,7 +415,17 @@ class Trainer:
             num_threads=cfg.data.num_threads,
             prefetch=cfg.data.prefetch_buffer, seed=self.seed)
 
-        for epoch in range(cfg.train.total_epochs):
+        # After a resume, start from the epoch the restored step belongs to
+        # instead of re-running total_epochs from scratch (the reference's
+        # resume is fully manual and restarts its epoch loop, README.md:180).
+        steps_per_epoch = max(1, len(train_loader))
+        start_epoch = min(int(state["step"]) // steps_per_epoch,
+                          cfg.train.total_epochs)
+        if start_epoch:
+            self.log.info("resuming epoch loop at epoch %d (step %d)",
+                          start_epoch, int(state["step"]))
+
+        for epoch in range(start_epoch, cfg.train.total_epochs):
             state = self.train_epoch(state, train_loader, epoch)
             step = int(state["step"])
 
