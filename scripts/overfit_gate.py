@@ -1,0 +1,157 @@
+"""Overfit-to-mAP gate: prove the whole train->eval stack end to end.
+
+The reference's correctness evidence is golden demo detections plus a
+published VOC mAP (reference README.md:58-66,200-206). This environment has
+no pretrained weights or real dataset, so this gate is the framework's
+equivalent: generate a deterministic synthetic dataset (data/synthetic.py),
+train the REAL Trainer on it (real loader/augmentation/encoder/loss/
+optimizer/checkpointing), then require the REAL `cli/evaluate` path to
+report mAP >= target on the training images. Any sign/coordinate/loss/NMS
+bug anywhere in the chain fails the gate.
+
+  python scripts/overfit_gate.py                    # full run (TPU, ~5 min)
+  python scripts/overfit_gate.py --preset quick     # small run (CPU-feasible)
+
+Writes <out_dir>/overfit_result.json and prints one JSON summary line.
+Exit code 0 iff mAP >= --target_map.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out_dir", default="./data/overfit")
+    p.add_argument("--preset", choices=["full", "quick"], default="full",
+                   help="full: 50 imgs @416, ~120 epochs (TPU). quick: "
+                        "16 imgs @160, fewer steps (CPU-feasible, used by "
+                        "the slow test)")
+    p.add_argument("--num_images", type=int, default=0,
+                   help="override preset image count")
+    p.add_argument("--epochs", type=int, default=0,
+                   help="override preset epoch count")
+    p.add_argument("--img_size", type=int, default=0,
+                   help="override preset square image size")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--target_map", type=float, default=0.95)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--focal", type=lambda v: v.lower() in ("1", "true"),
+                   default=False,
+                   help="enable the reference's focal conf loss (args.py:65); "
+                        "the recorded passing run used the plain BCE conf "
+                        "loss (mAP 0.9953 @ 300 epochs, BENCHMARKS.md)")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="validate every N epochs during training (0 = only "
+                        "the final gate evaluation)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    quick = args.preset == "quick"
+    num_images = args.num_images or (16 if quick else 50)
+    epochs = args.epochs or (60 if quick else 300)
+    size = args.img_size or (160 if quick else 416)
+
+    from yolov3_tensorflow_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    from yolov3_tensorflow_tpu.cli import evaluate as evaluate_cli
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.data.synthetic import generate_dataset
+    from yolov3_tensorflow_tpu.train.trainer import Trainer
+
+    out_dir = os.path.abspath(args.out_dir)
+    data = generate_dataset(os.path.join(out_dir, "data"),
+                            num_images=num_images, seed=args.seed,
+                            img_size=(size, size))
+
+    cfg = Config()
+    cfg.data.train_file = data["annotation_file"]
+    cfg.data.val_file = data["annotation_file"]
+    cfg.data.class_name_path = data["names_file"]
+    cfg.data.img_size = (size, size)
+    cfg.data.letterbox_resize = True
+    cfg.data.multi_scale_train = False
+    cfg.data.use_mix_up = False
+    cfg.model.use_label_smooth = False
+    cfg.model.use_focal_loss = args.focal
+    cfg.train.batch_size = args.batch_size
+    cfg.train.total_epochs = epochs
+    cfg.train.optimizer = "adam"
+    cfg.train.lr_type = "cosine_decay"
+    cfg.train.learning_rate_init = args.lr
+    cfg.train.lr_lower_bound = args.lr / 50
+    cfg.train.use_warm_up = True
+    cfg.train.warm_up_epoch = 2
+    cfg.train.update_part = None          # train the whole model
+    cfg.train.restore_exclude = None
+    cfg.train.train_evaluation_step = 0
+    cfg.train.val_evaluation_epoch = args.val_every
+    cfg.train.save_epoch = 0
+    cfg.train.save_dir = os.path.join(out_dir, "ckpt")
+    cfg.train.log_dir = os.path.join(out_dir, "logs")
+    cfg.train.progress_log_path = os.path.join(out_dir, "progress.log")
+    cfg.finalize()
+
+    t0 = time.time()
+    trainer = Trainer(cfg, seed=args.seed)
+    state = trainer.fit()
+    train_secs = time.time() - t0
+    ckpt_path = trainer.store.save("overfit_final", state, include_opt=False)
+
+    # the gate: the REAL cli/evaluate path on the saved checkpoint
+    eval_args = evaluate_cli.build_parser().parse_args([
+        "--eval_file", data["annotation_file"],
+        "--restore_path", ckpt_path,
+        "--class_name_path", data["names_file"],
+        "--img_size", str(size), str(size),
+    ])
+    result = evaluate_cli.run_eval(eval_args)
+
+    # downsampled training-loss curve from the trainer's JSONL metric mirror
+    curve = []
+    metrics_path = os.path.join(cfg.train.log_dir, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        totals = [json.loads(l) for l in open(metrics_path)
+                  if '"train_batch_statistics/loss_total"' in l]
+        stride = max(1, len(totals) // 40)
+        curve = [{"step": t["step"], "loss": round(t["value"], 3)}
+                 for t in totals[::stride]]
+
+    summary = {
+        "gate": "overfit_map",
+        "preset": args.preset,
+        "num_images": num_images,
+        "img_size": size,
+        "epochs": epochs,
+        "steps": int(state["step"]),
+        "train_seconds": round(train_secs, 1),
+        "mAP": round(float(result["mAP"]), 4),
+        "recall": round(float(result["recall"]), 4),
+        "precision": round(float(result["precision"]), 4),
+        "per_class_ap": {str(c): round(float(r["ap"]), 4)
+                         for c, r in result["per_class"].items()},
+        "final_loss": round(float(result["losses"]["total"]), 3),
+        "target_map": args.target_map,
+        "passed": bool(result["mAP"] >= args.target_map),
+        "checkpoint": ckpt_path,
+        "loss_curve": curve,
+    }
+    with open(os.path.join(out_dir, "overfit_result.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "loss_curve"}))
+    return 0 if summary["passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,164 @@
+"""Validate int8 PTQ accuracy + approx_topk detection identity on a real
+trained checkpoint (the overfit-gate model).
+
+Round-1 shipped int8 serving and the approx_max_k prefilter with throughput
+numbers but no accuracy evidence (random weights only). This script closes
+that: on the overfit-gate checkpoint + its 50-image synthetic set it reports
+
+1. bf16 mAP through the exact eval NMS path (sanity anchor vs the gate)
+2. int8 PTQ mAP through the identical decode/NMS (target: within 1 point)
+3. approx_topk vs exact-topk prefilter postprocess: detection identity rate
+   at serving thresholds on real score distributions
+
+  python scripts/validate_quantized.py \
+      --ckpt ./data/overfit/ckpt/overfit_final \
+      --data ./data/overfit/data/train.txt [--names .../synth.names]
+
+Prints one JSON summary line; writes <out>/quantize_validation.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--data", required=True, help="annotation txt")
+    p.add_argument("--names", default="")
+    p.add_argument("--img_size", type=int, default=416)
+    p.add_argument("--out", default="./data/overfit")
+    args = p.parse_args(argv)
+
+    from yolov3_tensorflow_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tensorflow_tpu.cli.common import load_variables
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.data.loader import DataLoader
+    from yolov3_tensorflow_tpu.evaluation.metrics import detections_to_pred_rows
+    from yolov3_tensorflow_tpu.evaluation.voc import (evaluate_map,
+                                                      parse_gt_records)
+    from yolov3_tensorflow_tpu.models.decode import predict_boxes
+    from yolov3_tensorflow_tpu.models.yolov3 import (fold_batch_norm,
+                                                     yolov3_forward_folded)
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import postprocess_prefilter
+    from yolov3_tensorflow_tpu.ops.nms import batched_nms_auto
+    from yolov3_tensorflow_tpu.ops.quantize import (
+        calibrate_activation_scales, quantize_model, yolov3_forward_int8)
+
+    cfg = Config()
+    if args.names:
+        cfg.data.class_name_path = args.names
+    cfg.data.val_file = args.data
+    cfg.finalize()
+    num_classes = cfg.model.num_classes
+    anchors = np.asarray(cfg.anchors, np.float32)
+    size = (args.img_size, args.img_size)  # (h, w)
+
+    variables = load_variables(args.ckpt, num_classes)
+    loader = DataLoader(args.data, num_classes, anchors, 8, size, mode="val",
+                        letterbox=True, num_threads=8)
+    batches = list(loader.epoch(0))
+    calib = np.concatenate([b.images for b in batches[:1]])[:8]
+
+    folded = fold_batch_norm(variables, dtype=jnp.bfloat16)
+    scales = calibrate_activation_scales(variables, jnp.asarray(calib))
+    qparams = quantize_model(variables, scales)
+    e = cfg.eval
+    use_pallas = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def eval_bf16(images):
+        fmaps = yolov3_forward_folded(folded, images,
+                                      compute_dtype=jnp.bfloat16)
+        boxes, confs, probs = predict_boxes(fmaps, anchors, num_classes, size)
+        return batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
+                                pre_topk=e.pre_nms_topk,
+                                score_thresh=e.score_threshold,
+                                iou_thresh=e.nms_threshold)
+
+    @jax.jit
+    def eval_int8(images):
+        fmaps = yolov3_forward_int8(qparams, images)
+        boxes, confs, probs = predict_boxes(fmaps, anchors, num_classes, size)
+        return batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
+                                pre_topk=e.pre_nms_topk,
+                                score_thresh=e.score_threshold,
+                                iou_thresh=e.nms_threshold)
+
+    def run_map(step):
+        rows = []
+        for b in batches:
+            dets = step(jnp.asarray(b.images))
+            dets_np = {k: np.asarray(v) for k, v in dets.items()}
+            rows.extend(detections_to_pred_rows(dets_np, b.image_ids))
+        gt = parse_gt_records(args.data, size, True)
+        return evaluate_map(gt, rows, num_classes, e.eval_threshold,
+                            e.use_voc_07_metric)
+
+    map_bf16 = run_map(eval_bf16)
+    map_int8 = run_map(eval_int8)
+
+    # ---- approx_topk vs exact prefilter at serving thresholds ----
+    def serving(approx):
+        @jax.jit
+        def f(images):
+            fmaps = yolov3_forward_folded(folded, images,
+                                          compute_dtype=jnp.bfloat16)
+            return postprocess_prefilter(
+                fmaps, anchors, num_classes, size, max_out=50, box_topk=128,
+                pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
+                use_pallas=use_pallas, approx_topk=approx)
+        return f
+
+    exact_f, approx_f = serving(False), serving(True)
+    total = matched = 0
+    score_dev = 0.0
+    for b in batches:
+        de = {k: np.asarray(v) for k, v in exact_f(jnp.asarray(b.images)).items()}
+        da = {k: np.asarray(v) for k, v in approx_f(jnp.asarray(b.images)).items()}
+        for i in range(b.images.shape[0]):
+            ve, va = de["valid"][i].astype(bool), da["valid"][i].astype(bool)
+            rows_e = {(tuple(np.round(bx, 1)), int(l))
+                      for bx, l in zip(de["boxes"][i][ve], de["labels"][i][ve])}
+            rows_a = {(tuple(np.round(bx, 1)), int(l))
+                      for bx, l in zip(da["boxes"][i][va], da["labels"][i][va])}
+            total += len(rows_e)
+            matched += len(rows_e & rows_a)
+            if ve.sum() and va.sum() and ve.sum() == va.sum():
+                score_dev = max(score_dev, float(np.abs(
+                    np.sort(de["scores"][i][ve]) -
+                    np.sort(da["scores"][i][va])).max()))
+
+    summary = {
+        "checkpoint": args.ckpt,
+        "dataset": args.data,
+        "images": sum(b.images.shape[0] for b in batches),
+        "mAP_bf16": round(float(map_bf16["mAP"]), 4),
+        "mAP_int8": round(float(map_int8["mAP"]), 4),
+        "int8_map_delta": round(float(map_bf16["mAP"] - map_int8["mAP"]), 4),
+        "approx_topk_identity": round(matched / max(total, 1), 4),
+        "approx_topk_exact_dets": total,
+        "approx_topk_max_score_dev": round(score_dev, 5),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "quantize_validation.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,10 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    from yolov3_tensorflow_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
-    args = build_parser().parse_args(argv)
+def run_eval(args) -> dict:
+    """The full evaluation pipeline; returns the evaluate_map result dict
+    (plus per-term mean losses under "losses"). Used by main() and by the
+    overfit gate (scripts/overfit_gate.py), so asserting on the returned mAP
+    exercises exactly the CLI's loader -> eval_step -> VOC path."""
     cfg = load_config(args.config or None, args.overrides)
     cfg.data.val_file = args.eval_file
     cfg.data.anchor_path = args.anchor_path
@@ -72,13 +73,23 @@ def main(argv=None) -> int:
                           cfg.data.letterbox_resize)
     result = evaluate_map(gt, rows, cfg.model.num_classes,
                           cfg.eval.eval_threshold, cfg.eval.use_voc_07_metric)
+    result["losses"] = {k: m.average for k, m in meters.items()}
+    return result
+
+
+def main(argv=None) -> int:
+    from yolov3_tensorflow_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
+    result = run_eval(args)
+    meters = result["losses"]
     for c, r in result["per_class"].items():
         print(f"EVAL: Class {c}: Recall: {r['recall']:.4f}, "
               f"Precision: {r['precision']:.4f}, AP: {r['ap']:.4f}")
     print(f"EVAL: Recall: {result['recall']:.4f}, "
           f"Precison: {result['precision']:.4f}, mAP: {result['mAP']:.4f}")
     print("EVAL: loss: total: {:.2f}, xy: {:.2f}, wh: {:.2f}, conf: {:.2f}, "
-          "class: {:.2f}".format(*[meters[k].average for k in
+          "class: {:.2f}".format(*[meters[k] for k in
                                    ("total", "xy", "wh", "conf", "class")]))
     return 0
 

@@ -120,7 +120,15 @@ class DataLoader:
                  multi_scale_interval: int = 10, use_mix_up: bool = False,
                  use_color_distort: bool = True, num_threads: int = 10,
                  prefetch: int = 5, seed: int = 0,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 shard_within_batch: Tuple[int, int] = (0, 1),
+                 shard_batches: Tuple[int, int] = (0, 1)):
+        """Multi-host sharding (SURVEY.md §2.3): `shard_within_batch=(i, P)`
+        makes this process load only its 1/P slice of every global batch
+        (training: every process sees the same step/plan/multi-scale schedule
+        but only materializes its rows — `batch_size` stays the GLOBAL batch).
+        `shard_batches=(i, P)` yields only plan batches i, i+P, ... (eval:
+        processes split the dataset, then gather prediction rows)."""
         self.lines = read_annotation_file(annotation_file)
         self.num_classes = num_classes
         self.anchors = np.asarray(anchors, np.float32)
@@ -136,12 +144,26 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self.shard_within_batch = tuple(shard_within_batch)
+        self.shard_batches = tuple(shard_batches)
+        if self.shard_within_batch[1] > 1 \
+                and batch_size % self.shard_within_batch[1] != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process count {self.shard_within_batch[1]}")
 
-    def __len__(self) -> int:
+    def _num_global_batches(self) -> int:
         n = len(self.lines)
         if self.drop_remainder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def __len__(self) -> int:
+        nb = self._num_global_batches()
+        idx, cnt = self.shard_batches
+        if cnt > 1:
+            nb = max(0, (nb - idx + cnt - 1) // cnt)
+        return nb
 
     def num_examples(self) -> int:
         return len(self.lines)
@@ -152,7 +174,7 @@ class DataLoader:
         order = (rng.permutation(len(self.lines)) if self.mode == "train"
                  else np.arange(len(self.lines)))
         batches: List[List[Union[str, Tuple[str, str]]]] = []
-        nb = len(self)
+        nb = self._num_global_batches()
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             batch: List[Union[str, Tuple[str, str]]] = [self.lines[i] for i in idx]
@@ -176,6 +198,16 @@ class DataLoader:
             step, self.multi_scale_interval, self.seed, self.img_size,
             enabled=self.multi_scale)
 
+        # multi-host: this process materializes only its contiguous slice of
+        # the global batch; PRNG slots stay GLOBAL row indices so augmentation
+        # is bit-identical to the equivalent single-process run
+        slot0 = 0
+        pi, pc = self.shard_within_batch
+        if pc > 1:
+            per = self.batch_size // pc
+            slot0 = pi * per
+            batch_lines = batch_lines[slot0:slot0 + per]
+
         def work(slot_and_line):
             slot, line = slot_and_line
             rng = np.random.default_rng((self.seed, epoch, step, slot))
@@ -183,7 +215,7 @@ class DataLoader:
                                  self.anchors, self.mode, self.letterbox, rng,
                                  self.use_color_distort)
 
-        results = list(pool.map(work, enumerate(batch_lines)))
+        results = list(pool.map(work, enumerate(batch_lines, start=slot0)))
         ids = np.asarray([r[0] for r in results], np.int64)
         images = np.stack([r[1] for r in results])
         y_true = tuple(
@@ -197,10 +229,17 @@ class DataLoader:
         sentinel = object()
         error: List[BaseException] = []
 
+        bi, bc = self.shard_batches
+        wi, wc = self.shard_within_batch
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for step, batch_lines in enumerate(plan):
+                        if bc > 1 and step % bc != bi:
+                            continue  # eval sharding: not this process's batch
+                        if wc > 1 and len(batch_lines) < self.batch_size:
+                            continue  # ragged remainder can't split evenly
                         q.put(self._make_batch(epoch, step, batch_lines, pool))
             except BaseException as e:  # surfaced to the consumer
                 error.append(e)

@@ -66,6 +66,16 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-10)
 
 
+def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU, preferring the native C++ kernel (native/postprocess.cc
+    yolo_iou_matrix) with a transparent numpy fallback — the host-side
+    counterpart of the reference's calc_iou (eval_utils.py:13)."""
+    from yolov3_tensorflow_tpu.utils import native
+    if native.available():
+        return native.iou_matrix(a, b)
+    return _iou_matrix(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
 def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
                      pred_labels: np.ndarray, true_boxes: np.ndarray,
                      true_labels: np.ndarray, iou_thresh: float = 0.5
@@ -75,7 +85,7 @@ def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
     higher-confidence detection)."""
     if len(pred_boxes) == 0 or len(true_boxes) == 0:
         return 0
-    iou = _iou_matrix(pred_boxes, true_boxes)
+    iou = iou_matrix(pred_boxes, true_boxes)
     best_gt = np.argmax(iou, axis=1)
 
     matched: Dict[int, float] = {}  # gt index -> confidence

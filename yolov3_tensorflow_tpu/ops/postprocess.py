@@ -62,9 +62,9 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
     fast=True uses the prefilter postprocess (ops.fast_postprocess) — exact
     at demo thresholds whenever <= box_topk boxes pass the score threshold;
     set fast=False for the exhaustive per-class path (mAP evaluation at very
-    low thresholds). The fast path also pads the detection output convs to
-    lane-aligned anchor blocks (ops.fast_postprocess docs), trading ~3% conv
-    FLOPs for the removal of all relayout copies in the postprocess.
+    low thresholds). (A lane-aligned padding of the detection output convs
+    was also tried and measured perf-neutral — see the note in
+    ops/fast_postprocess.py; `aligned_head` stays off by default.)
     """
     folded = fold_batch_norm(variables, dtype=compute_dtype)
 

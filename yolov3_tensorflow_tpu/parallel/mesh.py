@@ -31,14 +31,34 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
-    """device_put a host batch with its leading dim split over the mesh."""
+    """device_put a host batch with its leading dim split over the mesh.
+
+    Single-process: `tree` holds the full global batch. Multi-host: `tree`
+    holds this process's slice of the global batch (global batch =
+    process_count * local rows, assembled via
+    jax.make_array_from_process_local_data — the DCN-aware path)."""
     sharding = batch_sharded(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):
-    """device_put a pytree fully replicated over the mesh."""
+    """device_put a pytree fully replicated over the mesh (all processes
+    must hold the same values — true for seeded init and restored ckpts)."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+    return jax.tree_util.tree_map(put, tree)

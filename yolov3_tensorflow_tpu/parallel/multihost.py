@@ -41,6 +41,26 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def gather_meter_sums(meters) -> None:
+    """Combine AverageMeter sums/counts across processes in place, so every
+    host reports dataset-level mean losses (the single-host equivalent of the
+    reference's val loss meters, train.py:183-191)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    keys = sorted(meters)
+    local = np.asarray([[meters[k].sum, float(meters[k].count)]
+                        for k in keys], np.float32)
+    gathered = multihost_utils.process_allgather(local)  # [P, K, 2]
+    total = gathered.sum(axis=0)
+    for i, k in enumerate(keys):
+        m = meters[k]
+        m.sum = float(total[i, 0])
+        m.count = int(total[i, 1])
+        m.average = m.sum / max(m.count, 1)
+
+
 def gather_prediction_rows(rows: Sequence[Sequence[float]],
                            row_width: int = 7) -> List[List[float]]:
     """All-gather variable-length prediction rows to every host.

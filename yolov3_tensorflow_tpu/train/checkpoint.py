@@ -45,8 +45,14 @@ class CheckpointStore:
             tree.pop("opt_state", None)
         path = self.path(name)
         if overwrite and os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
+            # multi-host: rank 0 clears, everyone waits, then all processes
+            # enter orbax save together (it coordinates internally)
+            if jax.process_index() == 0:
+                import shutil
+                shutil.rmtree(path, ignore_errors=True)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(f"ckpt_clear:{name}")
         self._ckptr.save(path, _to_host(tree))
         self._ckptr.wait_until_finished()
         return path

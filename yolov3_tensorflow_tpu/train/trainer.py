@@ -131,10 +131,14 @@ class Trainer:
     """End-to-end training orchestration (reference train.py:122-226)."""
 
     def __init__(self, cfg: Config, seed: int = 0):
+        from yolov3_tensorflow_tpu.parallel.multihost import is_primary
+        from yolov3_tensorflow_tpu.utils.summary import NullSummaryWriter
+
         self.cfg = cfg
         self.seed = seed
+        self.is_primary = is_primary()  # multi-host: only rank 0 writes
         self.log = logging.getLogger("yolov3_tpu.train")
-        if cfg.train.progress_log_path:
+        if cfg.train.progress_log_path and self.is_primary:
             os.makedirs(os.path.dirname(cfg.train.progress_log_path) or ".",
                         exist_ok=True)
             handler = logging.FileHandler(cfg.train.progress_log_path, "w")
@@ -145,7 +149,8 @@ class Trainer:
 
         self.schedule = build_schedule(cfg)
         self.store = CheckpointStore(cfg.train.save_dir)
-        self.writer = SummaryWriter(cfg.train.log_dir)
+        self.writer = (SummaryWriter(cfg.train.log_dir) if self.is_primary
+                       else NullSummaryWriter())
         self.best_map = -np.inf
         self._train_step = None  # built after params exist (freeze mask)
 
@@ -288,7 +293,8 @@ class Trainer:
             step += 1
             pending.append((step, batch.images.shape[0], metrics))
             eval_now = (cfg.train.train_evaluation_step and step > 0
-                        and step % cfg.train.train_evaluation_step == 0)
+                        and step % cfg.train.train_evaluation_step == 0
+                        and jax.process_count() == 1)
             if len(pending) >= flush_every or eval_now:
                 flush()
             if eval_now:
@@ -330,19 +336,36 @@ class Trainer:
 
     def validate(self, state: TrainState, val_loader: DataLoader,
                  epoch: int) -> Dict[str, Any]:
-        """Full-dataset VOC mAP evaluation (train.py:174-216)."""
+        """Full-dataset VOC mAP evaluation (train.py:174-216).
+
+        Multi-host: each process evaluates its stride of val batches with a
+        process-local copy of the (replicated) params, prediction rows and
+        loss sums are all-gathered over DCN, and every process computes the
+        identical mAP (so the best-ckpt decision needs no broadcast)."""
         cfg = self.cfg
+        eval_state = state
+        if jax.process_count() > 1:
+            # globally-sharded state can't feed a process-local jit; pull the
+            # replicated values once and re-place locally
+            eval_state = jax.device_get(
+                {k: state[k] for k in ("params", "batch_stats")})
         val_meters = {k: AverageMeter() for k in
                       ("total", "xy", "wh", "conf", "class")}
         rows = []
         for batch in val_loader.epoch(0):
             losses, dets = self._eval_step(
-                state, jnp.asarray(batch.images),
+                eval_state, jnp.asarray(batch.images),
                 tuple(jnp.asarray(y) for y in batch.y_true))
             dets_np = {k: np.asarray(v) for k, v in dets.items()}
             rows.extend(detections_to_pred_rows(dets_np, batch.image_ids))
             for k in val_meters:
                 val_meters[k].update(float(losses[k]), batch.images.shape[0])
+
+        if jax.process_count() > 1:
+            from yolov3_tensorflow_tpu.parallel.multihost import (
+                gather_prediction_rows, gather_meter_sums)
+            rows = gather_prediction_rows(rows)
+            gather_meter_sums(val_meters)
 
         gt = parse_gt_records(cfg.data.val_file,
                               cfg.data.img_size, cfg.data.letterbox_resize)
@@ -398,6 +421,11 @@ class Trainer:
             elif cfg.train.restore_path:
                 state = self.restore_into(state, cfg.train.restore_path)
 
+        # multi-host: each process loads its slice of every train batch
+        # (batch_size stays the GLOBAL batch; the loader plan, step count and
+        # multi-scale schedule are identical on all processes) and its stride
+        # of val batches (rows gathered in validate())
+        pi, pc = jax.process_index(), jax.process_count()
         train_loader = DataLoader(
             cfg.data.train_file, cfg.model.num_classes, cfg.anchors,
             cfg.train.batch_size, cfg.data.img_size, mode="train",
@@ -407,13 +435,15 @@ class Trainer:
             use_mix_up=cfg.data.use_mix_up,
             use_color_distort=cfg.data.use_color_distort,
             num_threads=cfg.data.num_threads,
-            prefetch=cfg.data.prefetch_buffer, seed=self.seed)
+            prefetch=cfg.data.prefetch_buffer, seed=self.seed,
+            shard_within_batch=(pi, pc))
         val_loader = DataLoader(
             cfg.data.val_file, cfg.model.num_classes, cfg.anchors,
             cfg.eval.batch_size, cfg.data.img_size, mode="val",
             letterbox=cfg.data.letterbox_resize,
             num_threads=cfg.data.num_threads,
-            prefetch=cfg.data.prefetch_buffer, seed=self.seed)
+            prefetch=cfg.data.prefetch_buffer, seed=self.seed,
+            shard_batches=(pi, pc))
 
         # After a resume, start from the epoch the restored step belongs to
         # instead of re-running total_epochs from scratch (the reference's
@@ -429,7 +459,9 @@ class Trainer:
             state = self.train_epoch(state, train_loader, epoch)
             step = int(state["step"])
 
-            # periodic save gated on loss (train.py:169-171)
+            # periodic save gated on loss (train.py:169-171). Multi-host:
+            # every process calls save — orbax coordinates internally (rank 0
+            # writes, others participate in its barriers)
             if (cfg.train.save_epoch and epoch % cfg.train.save_epoch == 0
                     and epoch > 0 and self._last_epoch_loss <= 2.0):
                 name = (f"model-epoch_{epoch}_step_{step}"

@@ -101,6 +101,19 @@ def _file_version_event(wall_time: float) -> bytes:
     return _pb_double(1, wall_time) + _pb_bytes(3, b"brain.Event:2")
 
 
+class NullSummaryWriter:
+    """No-op writer for non-primary processes in multi-host training."""
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class SummaryWriter:
     """Write scalars to a TensorBoard event file and a JSONL mirror.
 
