@@ -59,7 +59,20 @@ def _measure_chained(fn, images, n1: int = 5, n2: int = 25) -> float:
     return max(min(diffs), 1e-9)
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, nargs=2, default=[416, 416],
+                   metavar=("H", "W"),
+                   help="inference resolution (e.g. --size 608 608 or "
+                        "--size 896 1344); default 416 416 (the driver's "
+                        "headline configuration)")
+    p.add_argument("--batches", type=str, default="",
+                   help="comma-separated batch sizes (default: 64,128 on TPU)")
+    args = p.parse_args(argv)
+    img_h, img_w = args.size
+
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +86,8 @@ def main() -> None:
     from yolov3_tensorflow_tpu.ops.fast_postprocess import postprocess_prefilter
 
     backend = jax.default_backend()
-    _log(f"backend: {backend}, devices: {jax.devices()}")
+    _log(f"backend: {backend}, devices: {jax.devices()}, "
+         f"size: {img_h}x{img_w}")
 
     num_classes = 80
     anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
@@ -84,7 +98,7 @@ def main() -> None:
 
     def postprocess(fmaps):
         return postprocess_prefilter(
-            fmaps, anchors, num_classes, (416, 416), max_out=50,
+            fmaps, anchors, num_classes, (img_h, img_w), max_out=50,
             box_topk=128, pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
             use_pallas=use_pallas, approx_topk=use_pallas)
 
@@ -97,10 +111,13 @@ def main() -> None:
 
     best = 0.0
     best_batch = 0
-    batches = (64, 128) if backend == "tpu" else (4,)
+    if args.batches:
+        batches = tuple(int(b) for b in args.batches.split(","))
+    else:
+        batches = (64, 128) if backend == "tpu" else (4,)
     for batch in batches:
         images = jax.device_put(jnp.asarray(
-            rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32)))
+            rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
         if backend != "tpu":
             dt = _measure_chained(detect_bf16, images, 1, 3)
         else:
@@ -116,7 +133,7 @@ def main() -> None:
             calibrate_activation_scales, quantize_model, yolov3_forward_int8)
         batch = best_batch
         images = jax.device_put(jnp.asarray(
-            rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32)))
+            rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
         scales = calibrate_activation_scales(variables, images[:8])
         qparams = quantize_model(variables, scales)
 

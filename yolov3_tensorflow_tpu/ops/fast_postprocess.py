@@ -142,8 +142,10 @@ def postprocess_prefilter(feature_maps: Sequence[jax.Array],
     approx_topk=True selects candidates with lax.approx_max_k (recall
     target 0.95) instead of exact top_k — ~3-4% end-to-end throughput on
     v5e (XLA's exact top_k is the single most expensive postprocess op per
-    profiler trace) at >99.9% identical detections; intended for the
-    serving path.
+    profiler trace). Accuracy measured on the trained overfit-gate
+    checkpoint: 108/108 detections identical to exact top-k at serving
+    thresholds (scripts/validate_quantized.py, docs/BENCHMARKS.md);
+    intended for the serving path.
     """
     img_h, img_w = int(img_size[0]), int(img_size[1])
     anchors = np.asarray(anchors, np.float32)

@@ -16,9 +16,11 @@ detector throughput. This module implements standard symmetric PTQ:
 The three detection output convs stay bf16 (their precision feeds the box
 decode directly; their FLOP share is negligible).
 
-Accuracy note: symmetric abs-max PTQ typically costs CNN detectors well
-under 1 mAP point; this environment has no pretrained weights or dataset, so
-run `calibrate_activation_scales` + an mAP eval on real data before serving.
+Accuracy: validated on the overfit-gate checkpoint (scripts/
+validate_quantized.py): int8 mAP 0.9954 vs bf16 0.9953 on the 50-image
+synthetic set — no measurable PTQ cost (docs/BENCHMARKS.md). Re-calibrate
+with `calibrate_activation_scales` on in-domain images before serving a new
+dataset.
 """
 
 from __future__ import annotations
