@@ -83,7 +83,9 @@ def main(argv=None) -> None:
     from yolov3_tensorflow_tpu.models.yolov3 import (fold_batch_norm,
                                                      init_yolov3,
                                                      yolov3_forward_folded)
-    from yolov3_tensorflow_tpu.ops.fast_postprocess import postprocess_prefilter
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        postprocess_prefilter, postprocess_split, split_serving_head,
+        yolov3_forward_split)
 
     backend = jax.default_backend()
     _log(f"backend: {backend}, devices: {jax.devices()}, "
@@ -93,9 +95,13 @@ def main(argv=None) -> None:
     anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
     variables = init_yolov3(jax.random.PRNGKey(0), num_classes)
     folded = fold_batch_norm(variables, dtype=jnp.bfloat16)
+    split = split_serving_head(folded, num_classes)
     use_pallas = backend == "tpu"
     rng = np.random.default_rng(0)
 
+    # serving config: 128 objectness-prefiltered candidates, approx top-k,
+    # Pallas shared-candidate NMS, every surviving candidate emitted
+    # (max_out = box_topk skips the per-class compaction top_k entirely)
     def postprocess(fmaps):
         return postprocess_prefilter(
             fmaps, anchors, num_classes, (img_h, img_w), max_out=50,
@@ -105,8 +111,11 @@ def main(argv=None) -> None:
     @jax.jit
     def detect_bf16(images, feedback):
         im = images + feedback * 0.0
-        out = postprocess(yolov3_forward_folded(
-            folded, im, compute_dtype=jnp.bfloat16))
+        outs = yolov3_forward_split(split, im)
+        out = postprocess_split(
+            outs, anchors, num_classes, (img_h, img_w), max_out=128,
+            box_topk=128, score_thresh=0.3, iou_thresh=0.45,
+            approx_topk=use_pallas, use_pallas=use_pallas)
         return out, out["scores"][0, 0]
 
     best = 0.0
@@ -130,17 +139,23 @@ def main(argv=None) -> None:
     if backend == "tpu":
         # int8 PTQ serving mode (stderr diagnostic; see module docstring)
         from yolov3_tensorflow_tpu.ops.quantize import (
-            calibrate_activation_scales, quantize_model, yolov3_forward_int8)
+            calibrate_activation_scales, quantize_model,
+            yolov3_forward_int8_split)
         batch = best_batch
         images = jax.device_put(jnp.asarray(
             rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
         scales = calibrate_activation_scales(variables, images[:8])
-        qparams = quantize_model(variables, scales)
+        qsplit = split_serving_head(quantize_model(variables, scales),
+                                    num_classes)
 
         @jax.jit
         def detect_int8(images, feedback):
             im = images + feedback * 0.0
-            out = postprocess(yolov3_forward_int8(qparams, im))
+            outs = yolov3_forward_int8_split(qsplit, im)
+            out = postprocess_split(
+                outs, anchors, num_classes, (img_h, img_w), max_out=128,
+                box_topk=128, score_thresh=0.3, iou_thresh=0.45,
+                approx_topk=True, use_pallas=use_pallas)
             return out, out["scores"][0, 0]
 
         dt8 = _measure_chained(detect_int8, images)

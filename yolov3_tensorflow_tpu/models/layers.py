@@ -126,6 +126,31 @@ def conv_folded(x: jax.Array, p: Params, *, stride: int = 1,
     return leaky_relu(y).astype(compute_dtype)
 
 
+def conv_folded_asym(x: jax.Array, p: Params, *,
+                     padding: Tuple[Tuple[int, int], Tuple[int, int]],
+                     compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """conv_folded with explicit (possibly asymmetric) padding and stride 1.
+
+    Used by the space-to-depth stem rewrite, whose 2x2 equivalent kernel
+    needs top/left-only padding (models.yolov3.space_to_depth_stem).
+    """
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        window_strides=(1, 1), padding=padding,
+        dimension_numbers=_DIMENSION_NUMBERS)
+    y = y + p["b"].astype(y.dtype)
+    return leaky_relu(y).astype(compute_dtype)
+
+
+def space_to_depth_2x(x: jax.Array) -> jax.Array:
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel block order is
+    (py*2 + px)*C + c for pixel phase (py, px) within each 2x2 cell."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x upsample via reshape-broadcast.
 

@@ -120,6 +120,248 @@ def flatten_feature_maps_aligned(feature_maps: Sequence[jax.Array],
     return jnp.concatenate(parts, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Split serving head: boxconf + lane-aligned class convs
+# ---------------------------------------------------------------------------
+#
+# The fused detector's dominant non-conv cost (profiled in-pipeline, not
+# standalone) is relayouting the 255-channel fp32 feature maps into per-anchor
+# rows: [B,Hg,Wg,3*(5+C)] -> [B,A,5+C] crosses lane tiles for every element.
+# Splitting each 1x1 detection conv into
+#   boxconf: 15 = 3 anchors x (4 box + 1 conf) channels, fp32, anchor-major
+#   cls:     3 x 128 lane-aligned class blocks, bf16 (48 zero-weight pad
+#            classes with bias -30 -> sigmoid ~ 0)
+# is algebraically the same matmul split along output columns, but makes
+# every downstream reshape layout-exact: [B,Hg,Wg,3*128] -> [B,Hg*Wg*3,128]
+# is free, the class max is a lane reduction, and candidate gathers read
+# per-scale operands directly (no [B,A,5+C] concat is ever materialized).
+
+
+def split_serving_head(folded: dict, num_classes: int,
+                       cls_dtype=None) -> dict:
+    """Rewrite folded head output convs for `yolov3_forward_split`.
+
+    Returns a new folded tree where head conv_6/conv_14/conv_22 become
+    {"boxconf": {w, b}, "cls": {w, b}} with the channel layouts above.
+    """
+    import jax.numpy as _jnp
+    cls_dtype = cls_dtype or _jnp.bfloat16
+    row = head_row_width(num_classes)
+    need = 5 + num_classes
+    out = {scope: dict(v) for scope, v in folded.items()}
+    out["head"] = dict(folded["head"])
+    for name in ("conv_6", "conv_14", "conv_22"):
+        p = folded["head"][name]
+        w = np.asarray(p["w"], np.float32)              # [1,1,cin,3*need]
+        b = np.asarray(p["b"], np.float32)
+        cin = w.shape[2]
+        wbc = np.zeros((1, 1, cin, 15), np.float32)
+        bbc = np.zeros((15,), np.float32)
+        wcl = np.zeros((1, 1, cin, 3 * row), np.float32)
+        bcl = np.full((3 * row,), -30.0, np.float32)    # pad classes -> ~0
+        for a in range(3):
+            src = a * need
+            wbc[..., a * 5:a * 5 + 5] = w[..., src:src + 5]
+            bbc[a * 5:a * 5 + 5] = b[src:src + 5]
+            wcl[..., a * row:a * row + num_classes] = \
+                w[..., src + 5:src + 5 + num_classes]
+            bcl[a * row:a * row + num_classes] = b[src + 5:src + 5 + num_classes]
+        dt = jnp.asarray(p["w"]).dtype
+        out["head"][name] = {
+            "boxconf": {"w": jnp.asarray(wbc, dt), "b": jnp.asarray(bbc)},
+            "cls": {"w": jnp.asarray(wcl, dt),
+                    "b": jnp.asarray(bcl, cls_dtype)},
+        }
+    return out
+
+
+def apply_split_output_conv(p: dict, x: jax.Array, *,
+                            compute_dtype=None, cls_dtype=None):
+    """Apply one split detection conv {boxconf, cls} (see split_serving_head).
+    Returns (boxconf fp32 [N,Hg,Wg,15], cls logits cls_dtype [N,Hg,Wg,3*row]).
+    Shared by the bf16 and int8 serving forwards."""
+    import jax.numpy as _jnp
+    compute_dtype = compute_dtype or _jnp.bfloat16
+    cls_dtype = cls_dtype or _jnp.bfloat16
+    from yolov3_tensorflow_tpu.models.layers import conv2d
+    bc = conv2d(x, p["boxconf"]["w"], compute_dtype=compute_dtype)
+    bc = bc.astype(jnp.float32) + p["boxconf"]["b"]
+    cl = conv2d(x, p["cls"]["w"], compute_dtype=compute_dtype)
+    cl = (cl + p["cls"]["b"].astype(cl.dtype)).astype(cls_dtype)
+    return (bc, cl)
+
+
+def yolov3_forward_split(folded: dict, images: jax.Array, *,
+                         compute_dtype=None, stem_s2d: bool = False,
+                         cls_dtype=None):
+    """Forward pass emitting split head outputs.
+
+    Returns a list of 3 (boxconf, cls) pairs, strides (32, 16, 8):
+      boxconf [N, Hg, Wg, 15] fp32 — per anchor a: channels a*5+0..3 box
+        logits, a*5+4 conf logit
+      cls     [N, Hg, Wg, 3*row] cls_dtype — anchor-major lane-aligned class
+        logit blocks (row = head_row_width)
+    Params must come from `split_serving_head` (and `space_to_depth_stem`
+    when stem_s2d=True).
+    """
+    import jax.numpy as _jnp
+    compute_dtype = compute_dtype or _jnp.bfloat16
+    cls_dtype = cls_dtype or _jnp.bfloat16
+    from yolov3_tensorflow_tpu.models.layers import (conv_folded,
+                                                     conv_folded_asym,
+                                                     space_to_depth_2x)
+    from yolov3_tensorflow_tpu.models.yolov3 import (_backbone_forward,
+                                                     _head_forward)
+
+    def bn_conv(scope, name, x, stride=1):
+        return conv_folded(x, folded[scope][name], stride=stride,
+                           compute_dtype=compute_dtype)
+
+    x = images.astype(compute_dtype)
+    if stem_s2d:
+        def backbone_conv(i, x, s):
+            if i == 0:
+                return conv_folded(x, folded["backbone"]["conv_0"], stride=1,
+                                   compute_dtype=compute_dtype)
+            if i == 1:
+                return conv_folded_asym(
+                    x, folded["backbone"]["conv_1"],
+                    padding=((1, 0), (1, 0)), compute_dtype=compute_dtype)
+            return bn_conv("backbone", f"conv_{i}", x, s)
+        x = space_to_depth_2x(x)
+    else:
+        def backbone_conv(i, x, s):
+            return bn_conv("backbone", f"conv_{i}", x, s)
+
+    def out_split(i, x):
+        return apply_split_output_conv(folded["head"][f"conv_{i}"], x,
+                                       compute_dtype=compute_dtype,
+                                       cls_dtype=cls_dtype)
+
+    routes = _backbone_forward(backbone_conv, x)
+    return list(_head_forward(
+        lambda i, x: bn_conv("head", f"conv_{i}", x), out_split, routes))
+
+
+def _select_anchor_block(rows: jax.Array, a_l: jax.Array, block: int,
+                         nblocks: int) -> jax.Array:
+    """rows [B, K, nblocks*block] -> [B, K, block], picking per-row block
+    a_l [B, K]. Static lane-aligned slices + select (no strided gather)."""
+    out = None
+    for a in range(nblocks):
+        blk = rows[..., a * block:(a + 1) * block]
+        sel = (a_l == a)[..., None]
+        out = blk if out is None else jnp.where(sel, blk, out)
+    return out
+
+
+def _gather_cells_per_scale(cell_ops: Sequence[jax.Array],
+                            cand_idx: jax.Array,
+                            offsets: Sequence[int],
+                            cells: Sequence[int],
+                            block: int) -> jax.Array:
+    """Gather per-anchor blocks by global anchor index from per-scale CELL
+    operands (native conv layout [B, Hg*Wg, 3*block] — a free reshape of the
+    conv output, never relaid out). cand_idx [B, K] indexes the virtual
+    per-anchor concat (scale-major, then row-major y, x, anchor).
+    Returns [B, K, block]."""
+    out = None
+    for op, off, nc in zip(cell_ops, offsets, cells):
+        local = jnp.clip(cand_idx - off, 0, nc * 3 - 1)
+        cell = local // 3
+        a_l = local % 3
+        g = jnp.take_along_axis(op, cell[..., None], axis=1)  # [B,K,3*block]
+        g = _select_anchor_block(g, a_l, block, 3)            # [B,K,block]
+        in_scale = ((cand_idx >= off) & (cand_idx < off + nc * 3))[..., None]
+        out = g if out is None else jnp.where(in_scale, g, out)
+    return out
+
+
+def postprocess_split(split_outs, anchors: np.ndarray, num_classes: int,
+                      img_size: Tuple[int, int], *,
+                      max_out: int = 50, box_topk: int = 128,
+                      score_thresh: float = 0.3, iou_thresh: float = 0.45,
+                      approx_topk: bool = True,
+                      use_pallas: Optional[bool] = None
+                      ) -> Dict[str, jax.Array]:
+    """Batched detection from split head outputs (`yolov3_forward_split`).
+
+    Same output contract and same math as postprocess_prefilter, restructured
+    so the big class tensor is only ever touched through lane-tile-aligned
+    slices of its native conv layout: scoring reduces each 128-wide anchor
+    block in place, and candidate rows are fetched with cell-level gathers +
+    block selects (profiled: the per-anchor [B, A, D] flattening relayouts
+    were the single largest non-conv cost of the fused detector).
+    """
+    img_h, img_w = int(img_size[0]), int(img_size[1])
+    anchors = np.asarray(anchors, np.float32)
+    row = head_row_width(num_classes)
+
+    bc_cells, cls_cells, objs, offsets, cells = [], [], [], [], []
+    off = 0
+    for bc, cl in split_outs:
+        b, hg, wg, _ = bc.shape
+        nc = hg * wg
+        bcc = bc.reshape(b, nc, 15)                       # free reshape
+        clc = cl.reshape(b, nc, 3 * row)                  # free reshape
+        conf = jnp.stack([bcc[..., a * 5 + 4] for a in range(3)], axis=-1)
+        cmax = jnp.stack(
+            [jnp.max(clc[..., a * row:(a + 1) * row], axis=-1)
+             for a in range(3)], axis=-1).astype(jnp.float32)  # [B, nc, 3]
+        obj = jax.nn.sigmoid(conf) * jax.nn.sigmoid(cmax)
+        objs.append(obj.reshape(b, nc * 3))
+        bc_cells.append(bcc)
+        cls_cells.append(clc)
+        offsets.append(off)
+        cells.append(nc)
+        off += nc * 3
+    a = off
+    obj = jnp.concatenate(objs, axis=1)                   # [B, A] fp32
+    k_box = min(box_topk, a)
+
+    if approx_topk:
+        _, cand_idx = jax.lax.approx_max_k(obj, k_box, recall_target=0.95)
+    else:
+        _, cand_idx = jax.lax.top_k(obj, k_box)           # [B, K]
+
+    bc_rows = _gather_cells_per_scale(bc_cells, cand_idx, offsets, cells, 5)
+    cls_rows = _gather_cells_per_scale(cls_cells, cand_idx, offsets, cells,
+                                       row)               # [B, K, row]
+
+    tx, ty, rw, rh, aw, ah = (jnp.asarray(t) for t in _decode_tables(
+        img_h, img_w, tuple(anchors.reshape(-1).tolist())))
+    gx = jnp.take(tx, cand_idx)
+    gy = jnp.take(ty, cand_idx)
+    grw = jnp.take(rw, cand_idx)
+    grh = jnp.take(rh, cand_idx)
+    gaw = jnp.take(aw, cand_idx)
+    gah = jnp.take(ah, cand_idx)
+
+    cx = (jax.nn.sigmoid(bc_rows[..., 0]) + gx) * grw
+    cy = (jax.nn.sigmoid(bc_rows[..., 1]) + gy) * grh
+    w = jnp.exp(bc_rows[..., 2]) * gaw
+    h = jnp.exp(bc_rows[..., 3]) * gah
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                      axis=-1)                            # [B, K, 4]
+
+    conf = jax.nn.sigmoid(bc_rows[..., 4:5])
+    probs = jax.nn.sigmoid(cls_rows[..., :num_classes].astype(jnp.float32))
+    scores = conf * probs                                 # [B, K, C]
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from yolov3_tensorflow_tpu.ops.nms_pallas import (
+            batched_nms_shared_pallas)
+        return batched_nms_shared_pallas(
+            boxes, scores, max_out=max_out, score_thresh=score_thresh,
+            iou_thresh=iou_thresh)
+    from yolov3_tensorflow_tpu.ops.nms import batched_nms
+    return batched_nms(boxes, scores, max_out=max_out,
+                       pre_topk=k_box, score_thresh=score_thresh,
+                       iou_thresh=iou_thresh)
+
+
 def postprocess_prefilter(feature_maps: Sequence[jax.Array],
                           anchors: np.ndarray, num_classes: int,
                           img_size: Tuple[int, int], *,

@@ -121,13 +121,21 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
     thresh_ref: [2] SMEM   (iou_thresh, score_thresh)
     keep_ref:   [1, C, K]  keep masks
 
-    The IoU>t mask is computed ONCE; each class reuses it with its own
-    score-rank ordering mask (greedy order = score-descending, ties by
-    candidate index), then runs the fixpoint iteration. Eliminates both the
-    per-(image,class) kernel grid and the per-class XLA top_k+gather staging.
+    The IoU>t mask is computed ONCE; classes are processed in chunks of
+    _CLASS_CHUNK: the score-rank ordering mask (greedy order =
+    score-descending, ties by candidate index) is built vectorized for the
+    whole chunk, and one fixpoint loop runs the chunk jointly (it converges
+    when the chunk's deepest suppression chain does — typically 2-3
+    iterations). Chunking amortizes the loop/slice overhead that dominates a
+    per-class loop: 80 classes = 10 chunk iterations instead of 80 class
+    iterations. Chunks whose best score is below the score threshold skip the
+    mask build + fixpoint entirely (semantically identity — all-invalid
+    classes yield all-zero keep masks), which is the common case for a
+    trained detector firing on a handful of classes per image.
     """
     k = boxes_ref.shape[1]
     c = scores_ref.shape[1]
+    chunk = _CLASS_CHUNK
     boxes = boxes_ref[0].astype(jnp.float32)
     iou_t = thresh_ref[0]
     score_t = thresh_ref[1]
@@ -146,34 +154,47 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
 
     rows_lt_cols = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
                     < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
-    def per_class(ci, _):
+
+    def per_chunk(ch, _):
         # dynamic slicing must address the ref directly (Mosaic requirement)
-        s = scores_ref[0, ci, :].astype(jnp.float32)                  # [K]
-        valid = (s >= score_t).astype(jnp.float32)[None, :]           # [1, K]
-        # rank mask: i precedes j in greedy order
-        rank = (s[:, None] > s[None, :]) | (
-            (s[:, None] == s[None, :]) & rows_lt_cols)
-        m = (iou_mask & rank).astype(jnp.float32)
+        s = scores_ref[0, pl.ds(ch * chunk, chunk), :].astype(jnp.float32)
 
-        def cond(carry):
-            keep, prev, it = carry
-            return jnp.logical_and(it < k, jnp.any(keep != prev))
+        @pl.when(jnp.max(s) < score_t)
+        def _empty():
+            keep_ref[0, pl.ds(ch * chunk, chunk), :] = jnp.zeros(
+                (chunk, k), jnp.float32)
 
-        def body(carry):
-            keep, _, it = carry
-            suppressed = jnp.dot(keep, m, preferred_element_type=jnp.float32)
-            return (valid * (suppressed <= 0.0).astype(jnp.float32),
-                    keep, it + 1)
+        @pl.when(jnp.max(s) >= score_t)
+        def _suppress():
+            valid = (s >= score_t).astype(jnp.float32)            # [CH, K]
+            # rank mask per class: i precedes j in greedy order
+            rank = (s[:, :, None] > s[:, None, :]) | (
+                (s[:, :, None] == s[:, None, :]) & rows_lt_cols[None])
+            m = (iou_mask[None] & rank).astype(jnp.float32)       # [CH, K, K]
 
-        keep, _, _ = jax.lax.while_loop(
-            cond, body, (valid, -jnp.ones_like(valid), jnp.int32(0)))
-        keep_ref[0, ci, :] = keep[0]
+            def cond(carry):
+                keep, prev, it = carry
+                return jnp.logical_and(it < k, jnp.any(keep != prev))
+
+            def body(carry):
+                keep, _, it = carry
+                # suppressed_cj = max_i keep_ci * m_cij  (> 0 iff any kept
+                # higher-ranked overlapping box) — VPU sublane reduction,
+                # vectorized over the chunk
+                suppressed = jnp.max(m * keep[:, :, None], axis=1)
+                return (valid * (suppressed <= 0.0).astype(jnp.float32),
+                        keep, it + 1)
+
+            keep, _, _ = jax.lax.while_loop(
+                cond, body, (valid, -jnp.ones_like(valid), jnp.int32(0)))
+            keep_ref[0, pl.ds(ch * chunk, chunk), :] = keep
+
         return 0
 
-    jax.lax.fori_loop(0, c, per_class, 0)
+    jax.lax.fori_loop(0, c // chunk, per_chunk, 0)
 
 
-_CLASS_CHUNK = 8  # class padding granularity for the shared kernel
+_CLASS_CHUNK = 16  # class-chunk width for the shared kernel (vectorized rank build)
 
 
 # Note on a rejected design: a "class-parallel" v3 kernel (one global
@@ -237,8 +258,32 @@ def batched_nms_shared_pallas(boxes: jax.Array, scores: jax.Array, *,
     c = scores.shape[2]
     keep = nms_keep_mask_shared_pallas(boxes, scores, score_thresh,
                                        iou_thresh, interpret=interpret)
-    # final per-class compaction (scores broadcast to [B, C, K])
     scores_ck = jnp.swapaxes(scores, 1, 2)                  # [B, C, K]
+
+    if max_out >= k:
+        # Every candidate fits in the output: no per-class top_k needed at
+        # all (profiled at ~3.4 ms/batch-128 in the fused detector). Rows
+        # come out in candidate order, not per-class score order — every
+        # consumer (VOC eval, demo drawing) sorts or is order-agnostic.
+        sel_scores = jnp.where(keep, scores_ck, 0.0)        # [B, C, K]
+        sel_boxes = jnp.broadcast_to(boxes[:, None, :, :], (b, c, k, 4))
+        sel_valid = keep
+        if max_out > k:
+            pad = max_out - k
+            sel_boxes = jnp.pad(sel_boxes,
+                                ((0, 0), (0, 0), (0, pad), (0, 0)))
+            sel_scores = jnp.pad(sel_scores, ((0, 0), (0, 0), (0, pad)))
+            sel_valid = jnp.pad(sel_valid, ((0, 0), (0, 0), (0, pad)))
+        labels = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32)[None, :, None], (b, c, max_out))
+        return {
+            "boxes": sel_boxes.reshape(b, c * max_out, 4),
+            "scores": sel_scores.reshape(b, c * max_out),
+            "labels": labels.reshape(b, c * max_out),
+            "valid": sel_valid.reshape(b, c * max_out),
+        }
+
+    # final per-class compaction (scores broadcast to [B, C, K])
     out_scores = jnp.where(keep, scores_ck, -jnp.inf)
     m = min(max_out, k)
     sel_scores, sel = jax.lax.top_k(out_scores, m)          # [B, C, M]

@@ -52,34 +52,64 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                    score_thresh: float = 0.3, iou_thresh: float = 0.45,
                    compute_dtype=jnp.bfloat16,
                    use_pallas: Optional[bool] = None,
-                   fast: bool = True, box_topk: int = 256) -> Callable:
+                   fast: bool = True, box_topk: int = 256,
+                   mode: Optional[str] = None,
+                   approx_topk: bool = False) -> Callable:
     """Build a jitted end-to-end detector: images [B,H,W,3] -> detections.
 
     Folds BN into the conv weights once (inference fast path), then jits
     forward+decode+NMS as one program. Default thresholds mirror the demo
     scripts (max 200 boxes, score 0.3, iou 0.45; test_single_image.py:57).
 
-    fast=True uses the prefilter postprocess (ops.fast_postprocess) — exact
-    at demo thresholds whenever <= box_topk boxes pass the score threshold;
-    set fast=False for the exhaustive per-class path (mAP evaluation at very
-    low thresholds). (A lane-aligned padding of the detection output convs
-    was also tried and measured perf-neutral — see the note in
-    ops/fast_postprocess.py; `aligned_head` stays off by default.)
+    mode selects the postprocess pipeline (default resolves from `fast`):
+      "exact"     exhaustive per-class path — mAP evaluation at very low
+                  thresholds
+      "prefilter" objectness prefilter over box_topk candidates
+                  (ops.fast_postprocess.postprocess_prefilter) — exact at
+                  demo thresholds whenever <= box_topk boxes pass the score
+                  threshold
+      "split"     the serving fast path: split detection convs
+                  (lane-aligned class blocks, boxconf rows) + candidate
+                  prefilter + Pallas shared NMS — same math as "prefilter",
+                  profiled fastest; detection rows come out in candidate
+                  order (not per-class score order) when max_out >= box_topk
+    (A lane-aligned padding of the whole detection conv was also tried and
+    measured perf-neutral — see the note in ops/fast_postprocess.py;
+    the "split" head is the design that did pay off.)
     """
+    if mode is None:
+        mode = "prefilter" if fast else "exact"
     folded = fold_batch_norm(variables, dtype=compute_dtype)
+
+    if mode == "split":
+        from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+            postprocess_split, split_serving_head, yolov3_forward_split)
+        split = split_serving_head(folded, num_classes)
+
+        @jax.jit
+        def detect_split(images: jax.Array) -> Dict[str, jax.Array]:
+            outs = yolov3_forward_split(split, images,
+                                        compute_dtype=compute_dtype)
+            return postprocess_split(
+                outs, anchors, num_classes, img_size, max_out=max_out,
+                box_topk=box_topk, score_thresh=score_thresh,
+                iou_thresh=iou_thresh, approx_topk=approx_topk,
+                use_pallas=use_pallas)
+
+        return detect_split
 
     @jax.jit
     def detect(images: jax.Array) -> Dict[str, jax.Array]:
         fmaps = yolov3_forward_folded(folded, images,
                                       compute_dtype=compute_dtype)
-        if fast:
+        if mode == "prefilter":
             from yolov3_tensorflow_tpu.ops.fast_postprocess import (
                 postprocess_prefilter)
             return postprocess_prefilter(
                 fmaps, anchors, num_classes, img_size, max_out=max_out,
                 box_topk=box_topk, pre_topk=min(pre_topk, box_topk),
                 score_thresh=score_thresh, iou_thresh=iou_thresh,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, approx_topk=approx_topk)
         return postprocess(
             fmaps, anchors, num_classes, img_size, max_out=max_out,
             pre_topk=pre_topk, score_thresh=score_thresh,

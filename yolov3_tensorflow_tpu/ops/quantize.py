@@ -147,6 +147,29 @@ def yolov3_forward_int8(qparams: Params, images: jax.Array
         routes)
 
 
+def yolov3_forward_int8_split(qparams_split: Params, images: jax.Array):
+    """Quantized forward emitting split head outputs (the serving fast path).
+
+    qparams_split = fast_postprocess.split_serving_head(quantize_model(...))
+    — the bf16 detection output convs carry plain {"w", "b"} exactly like a
+    folded tree, so the same head-splitting transform applies. Returns the
+    yolov3_forward_split contract, for postprocess_split.
+    """
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        apply_split_output_conv)
+
+    def bn_conv(scope, name, x, stride=1):
+        return _conv_int8(x, qparams_split[scope][name], stride)
+
+    x = images.astype(jnp.bfloat16)
+    routes = _backbone_forward(
+        lambda i, x, s: bn_conv("backbone", f"conv_{i}", x, s), x)
+    return list(_head_forward(
+        lambda i, x: bn_conv("head", f"conv_{i}", x),
+        lambda i, x: apply_split_output_conv(
+            qparams_split["head"][f"conv_{i}"], x), routes))
+
+
 def build_detector_int8(variables: Params, anchors, num_classes: int,
                         img_size: Tuple[int, int], *,
                         calibration_images: jax.Array,
