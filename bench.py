@@ -50,10 +50,10 @@ def _measure_chained(fn, images, n1: int = 5, n2: int = 25) -> float:
         np.asarray(fb)
         return time.perf_counter() - t0
 
-    # two independent differentials; take the min (clock/thermal noise on a
+    # independent differentials; take the min (clock/thermal noise on a
     # shared dev chip only ever inflates the measurement)
     diffs = []
-    for _ in range(2):
+    for _ in range(3):
         t1, t2 = run(n1), run(n2)
         diffs.append((t2 - t1) / (n2 - n1))
     return max(min(diffs), 1e-9)
@@ -84,8 +84,8 @@ def main(argv=None) -> None:
                                                      init_yolov3,
                                                      yolov3_forward_folded)
     from yolov3_tensorflow_tpu.ops.fast_postprocess import (
-        postprocess_prefilter, postprocess_split, split_serving_head,
-        yolov3_forward_split)
+        pack_serving_head, postprocess_packed, postprocess_prefilter,
+        yolov3_forward_packed)
 
     backend = jax.default_backend()
     _log(f"backend: {backend}, devices: {jax.devices()}, "
@@ -95,26 +95,27 @@ def main(argv=None) -> None:
     anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
     variables = init_yolov3(jax.random.PRNGKey(0), num_classes)
     folded = fold_batch_norm(variables, dtype=jnp.bfloat16)
-    split = split_serving_head(folded, num_classes)
+    packed = pack_serving_head(folded, num_classes)
     use_pallas = backend == "tpu"
     rng = np.random.default_rng(0)
 
-    # serving config: 128 objectness-prefiltered candidates, approx top-k,
-    # Pallas shared-candidate NMS, every surviving candidate emitted
-    # (max_out = box_topk skips the per-class compaction top_k entirely)
-    def postprocess(fmaps):
-        return postprocess_prefilter(
-            fmaps, anchors, num_classes, (img_h, img_w), max_out=50,
-            box_topk=128, pre_topk=128, score_thresh=0.3, iou_thresh=0.45,
-            use_pallas=use_pallas, approx_topk=use_pallas)
-
+    # serving config: packed detection head, 64 objectness-prefiltered
+    # candidates, approx top-k, Pallas shared-candidate NMS (candidates
+    # padded to its 128-lane width), every surviving candidate emitted
+    # (max_out >= padded K skips the per-class compaction top_k entirely)
+    #
+    # Iteration chaining rides the (scalar) score threshold: every
+    # iteration's NMS depends on the previous iteration's output, so the
+    # final fetched scalar transitively depends on all N executions (nothing
+    # can be elided), without paying a full-image add pass per iteration
+    # (chaining through the input cost a measurable 0.65 ms/batch of
+    # HBM-bandwidth scaffolding that the real detector does not have).
     @jax.jit
     def detect_bf16(images, feedback):
-        im = images + feedback * 0.0
-        outs = yolov3_forward_split(split, im)
-        out = postprocess_split(
+        outs = yolov3_forward_packed(packed, images)
+        out = postprocess_packed(
             outs, anchors, num_classes, (img_h, img_w), max_out=128,
-            box_topk=128, score_thresh=0.3, iou_thresh=0.45,
+            box_topk=64, score_thresh=0.3 + feedback * 0.0, iou_thresh=0.45,
             approx_topk=use_pallas, use_pallas=use_pallas)
         return out, out["scores"][0, 0]
 
@@ -123,7 +124,10 @@ def main(argv=None) -> None:
     if args.batches:
         batches = tuple(int(b) for b in args.batches.split(","))
     else:
-        batches = (64, 128) if backend == "tpu" else (4,)
+        # 128 is the measured throughput knee on v5e: scanned 64 (1698
+        # img/s), 96 (1887), 128 (~2000-2017), 160 (1736), 192 (1723),
+        # 256 (1837); larger batches fall off a VMEM/scheduling cliff.
+        batches = (128,) if backend == "tpu" else (4,)
     for batch in batches:
         images = jax.device_put(jnp.asarray(
             rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
@@ -140,22 +144,21 @@ def main(argv=None) -> None:
         # int8 PTQ serving mode (stderr diagnostic; see module docstring)
         from yolov3_tensorflow_tpu.ops.quantize import (
             calibrate_activation_scales, quantize_model,
-            yolov3_forward_int8_split)
+            yolov3_forward_int8_packed)
         batch = best_batch
         images = jax.device_put(jnp.asarray(
             rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
         scales = calibrate_activation_scales(variables, images[:8])
-        qsplit = split_serving_head(quantize_model(variables, scales),
+        qpacked = pack_serving_head(quantize_model(variables, scales),
                                     num_classes)
 
         @jax.jit
         def detect_int8(images, feedback):
-            im = images + feedback * 0.0
-            outs = yolov3_forward_int8_split(qsplit, im)
-            out = postprocess_split(
+            outs = yolov3_forward_int8_packed(qpacked, images)
+            out = postprocess_packed(
                 outs, anchors, num_classes, (img_h, img_w), max_out=128,
-                box_topk=128, score_thresh=0.3, iou_thresh=0.45,
-                approx_topk=True, use_pallas=use_pallas)
+                box_topk=64, score_thresh=0.3 + feedback * 0.0,
+                iou_thresh=0.45, approx_topk=True, use_pallas=use_pallas)
             return out, out["scores"][0, 0]
 
         dt8 = _measure_chained(detect_int8, images)
@@ -169,8 +172,11 @@ def main(argv=None) -> None:
 
         @jax.jit
         def nms_only(fm, feedback):
-            fm2 = tuple(x + feedback * 0.0 for x in fm)
-            out = postprocess(fm2)
+            out = postprocess_prefilter(
+                fm, anchors, num_classes, (img_h, img_w), max_out=50,
+                box_topk=128, pre_topk=128,
+                score_thresh=0.3 + feedback * 0.0, iou_thresh=0.45,
+                use_pallas=use_pallas, approx_topk=use_pallas)
             return out, out["scores"][0, 0]
 
         dtn = _measure_chained(lambda im, fb: nms_only(fmaps, fb), images)

@@ -9,6 +9,10 @@ that: on the overfit-gate checkpoint + its 50-image synthetic set it reports
 2. int8 PTQ mAP through the identical decode/NMS (target: within 1 point)
 3. approx_topk vs exact-topk prefilter postprocess: detection identity rate
    at serving thresholds on real score distributions
+4. the packed serving head (mode=packed, box_topk=64, approx_topk — the
+   bench configuration) vs the exact prefilter path: detection identity
+   rate, validating the whole-block lane-max selection heuristic and the
+   bf16 box logits on a trained model
 
   python scripts/validate_quantized.py \
       --ckpt ./data/overfit/ckpt/overfit_final \
@@ -123,24 +127,65 @@ def main(argv=None) -> int:
                 use_pallas=use_pallas, approx_topk=approx)
         return f
 
+    def identity_vs_exact(exact_f, cand_f, iou_min=0.98):
+        """Detection identity rate: fraction of exact-path detections with a
+        same-label counterpart at IoU >= iou_min (greedy one-to-one match —
+        set equality on rounded coordinates is too brittle for the packed
+        path's bf16 box logits, whose ~0.1 px deviations flip rounding)."""
+        total = matched = 0
+        score_dev = 0.0
+        for b in batches:
+            de = {k: np.asarray(v)
+                  for k, v in exact_f(jnp.asarray(b.images)).items()}
+            da = {k: np.asarray(v)
+                  for k, v in cand_f(jnp.asarray(b.images)).items()}
+            for i in range(b.images.shape[0]):
+                ve = de["valid"][i].astype(bool)
+                va = da["valid"][i].astype(bool)
+                eb, el = de["boxes"][i][ve], de["labels"][i][ve]
+                es = de["scores"][i][ve]
+                ab, al = da["boxes"][i][va], da["labels"][i][va]
+                as_ = da["scores"][i][va]
+                used = np.zeros(len(ab), bool)
+                total += len(eb)
+                for bx, lb, sc in zip(eb, el, es):
+                    best, best_iou = -1, iou_min
+                    for j in range(len(ab)):
+                        if used[j] or al[j] != lb:
+                            continue
+                        ix0 = np.maximum(bx[:2], ab[j][:2])
+                        ix1 = np.minimum(bx[2:], ab[j][2:])
+                        iw = np.maximum(ix1 - ix0, 0.0)
+                        inter = iw[0] * iw[1]
+                        ua = (np.prod(bx[2:] - bx[:2])
+                              + np.prod(ab[j][2:] - ab[j][:2]) - inter)
+                        iou = inter / max(ua, 1e-9)
+                        if iou >= best_iou:
+                            best, best_iou = j, iou
+                    if best >= 0:
+                        used[best] = True
+                        matched += 1
+                        score_dev = max(score_dev,
+                                        float(abs(sc - as_[best])))
+        return total, matched, score_dev
+
     exact_f, approx_f = serving(False), serving(True)
-    total = matched = 0
-    score_dev = 0.0
-    for b in batches:
-        de = {k: np.asarray(v) for k, v in exact_f(jnp.asarray(b.images)).items()}
-        da = {k: np.asarray(v) for k, v in approx_f(jnp.asarray(b.images)).items()}
-        for i in range(b.images.shape[0]):
-            ve, va = de["valid"][i].astype(bool), da["valid"][i].astype(bool)
-            rows_e = {(tuple(np.round(bx, 1)), int(l))
-                      for bx, l in zip(de["boxes"][i][ve], de["labels"][i][ve])}
-            rows_a = {(tuple(np.round(bx, 1)), int(l))
-                      for bx, l in zip(da["boxes"][i][va], da["labels"][i][va])}
-            total += len(rows_e)
-            matched += len(rows_e & rows_a)
-            if ve.sum() and va.sum() and ve.sum() == va.sum():
-                score_dev = max(score_dev, float(np.abs(
-                    np.sort(de["scores"][i][ve]) -
-                    np.sort(da["scores"][i][va])).max()))
+    total, matched, score_dev = identity_vs_exact(exact_f, approx_f)
+
+    # ---- packed serving head (the bench configuration) vs exact ----
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        pack_serving_head, postprocess_packed, yolov3_forward_packed)
+    packed_params = pack_serving_head(folded, num_classes)
+
+    @jax.jit
+    def packed_f(images):
+        outs = yolov3_forward_packed(packed_params, images)
+        return postprocess_packed(
+            outs, anchors, num_classes, size, max_out=128, box_topk=64,
+            score_thresh=0.3, iou_thresh=0.45, approx_topk=use_pallas,
+            use_pallas=use_pallas)
+
+    p_total, p_matched, p_score_dev = identity_vs_exact(exact_f, packed_f)
 
     summary = {
         "checkpoint": args.ckpt,
@@ -152,6 +197,9 @@ def main(argv=None) -> int:
         "approx_topk_identity": round(matched / max(total, 1), 4),
         "approx_topk_exact_dets": total,
         "approx_topk_max_score_dev": round(score_dev, 5),
+        "packed_serving_identity": round(p_matched / max(p_total, 1), 4),
+        "packed_serving_exact_dets": p_total,
+        "packed_serving_max_score_dev": round(p_score_dev, 5),
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "quantize_validation.json"), "w") as f:

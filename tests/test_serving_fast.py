@@ -20,9 +20,13 @@ from yolov3_tensorflow_tpu.models.layers import (conv_folded,
 from yolov3_tensorflow_tpu.models.yolov3 import (fold_batch_norm, init_yolov3,
                                                  space_to_depth_stem,
                                                  yolov3_forward_folded)
-from yolov3_tensorflow_tpu.ops.fast_postprocess import (postprocess_prefilter,
+from yolov3_tensorflow_tpu.ops.fast_postprocess import (head_row_width,
+                                                        pack_serving_head,
+                                                        postprocess_packed,
+                                                        postprocess_prefilter,
                                                         postprocess_split,
                                                         split_serving_head,
+                                                        yolov3_forward_packed,
                                                         yolov3_forward_split)
 
 
@@ -97,6 +101,89 @@ def test_split_head_postprocess_bitwise(folded):
         np.testing.assert_allclose(
             np.asarray(ref[key], np.float32), np.asarray(got[key], np.float32),
             rtol=1e-5, atol=1e-4, err_msg=key)
+
+
+def test_packed_forward_matches_split(folded):
+    """Packed head outputs carry the same logits as the split head,
+    rearranged: block a = [cls 0:C, conf, tx ty tw th, pad]."""
+    c = 80
+    row = head_row_width(c)
+    split = split_serving_head(folded, c, cls_dtype=jnp.float32)
+    packed = pack_serving_head(folded, c, out_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    souts = yolov3_forward_split(split, img, compute_dtype=jnp.float32,
+                                 cls_dtype=jnp.float32)
+    pouts = yolov3_forward_packed(packed, img, compute_dtype=jnp.float32,
+                                  out_dtype=jnp.float32)
+    for (bc, cl), p in zip(souts, pouts):
+        p = np.asarray(p)
+        bc = np.asarray(bc)
+        cl = np.asarray(cl)
+        for a in range(3):
+            blk = p[..., a * row:(a + 1) * row]
+            np.testing.assert_allclose(
+                blk[..., :c], cl[..., a * row:a * row + c],
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                blk[..., c], bc[..., a * 5 + 4], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                blk[..., c + 1:c + 5], bc[..., a * 5:a * 5 + 4],
+                rtol=1e-5, atol=1e-5)
+            # pad lanes sit at bias -30: sigmoid ~ 0, never wins a lane max
+            assert np.all(blk[..., c + 5:] < -20)
+
+
+def test_packed_postprocess_decode_exact():
+    """postprocess_packed == postprocess_prefilter when the lane max equals
+    the class max (constructed so conf/box logits never dominate)."""
+    from yolov3_tensorflow_tpu.config import DEFAULT_ANCHORS
+    anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
+    c = 80
+    row = head_row_width(c)
+    rng = np.random.default_rng(6)
+    b = 2
+    fmaps, pouts = [], []
+    for g in (3, 6, 12):
+        cls = rng.uniform(0.0, 4.0, (b, g, g, 3, c)).astype(np.float32)
+        conf = rng.uniform(-4.0, 0.0, (b, g, g, 3, 1)).astype(np.float32)
+        box = rng.uniform(-1.0, 1.0, (b, g, g, 3, 4)).astype(np.float32)
+        # standard layout: [tx ty tw th conf cls...] per anchor
+        std = np.concatenate([box, conf, cls], axis=-1)
+        fmaps.append(jnp.asarray(std.reshape(b, g, g, 3 * (5 + c))))
+        packed = np.full((b, g, g, 3, row), -30.0, np.float32)
+        packed[..., :c] = cls
+        packed[..., c] = conf[..., 0]
+        packed[..., c + 1:c + 5] = box
+        pouts.append(jnp.asarray(packed.reshape(b, g, g, 3 * row)))
+
+    ref = postprocess_prefilter(fmaps, anchors, c, (96, 96), max_out=20,
+                                box_topk=64, score_thresh=0.2,
+                                iou_thresh=0.45, use_pallas=False,
+                                approx_topk=False)
+    got = postprocess_packed(pouts, anchors, c, (96, 96), max_out=20,
+                             box_topk=64, score_thresh=0.2, iou_thresh=0.45,
+                             approx_topk=False, use_pallas=False)
+    for key in ("labels", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[key]), np.asarray(got[key]), err_msg=key)
+    for key in ("boxes", "scores"):
+        np.testing.assert_allclose(
+            np.asarray(ref[key], np.float32), np.asarray(got[key], np.float32),
+            rtol=1e-5, atol=1e-4, err_msg=key)
+
+
+def test_packed_head_shapes(folded):
+    """Packed outputs carry the documented layout and dtype."""
+    packed = pack_serving_head(folded, 80)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    outs = yolov3_forward_packed(packed, img)
+    assert len(outs) == 3
+    for p, stride in zip(outs, (32, 16, 8)):
+        g = 64 // stride
+        assert p.shape == (1, g, g, 3 * 128)
+        assert p.dtype == jnp.bfloat16
 
 
 def test_split_head_shapes(folded):

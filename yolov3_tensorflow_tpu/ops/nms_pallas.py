@@ -112,17 +112,24 @@ def nms_keep_mask_pallas(boxes: jax.Array, valid: jax.Array,
     return keep[:, 0, :] > 0.5
 
 
-def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
-    """One *image* per program: all classes share one candidate box set.
+def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, act_ref, keep_ref,
+                       iou_scratch):
+    """A *block of images* per program: all classes share one candidate set
+    per image.
 
-    boxes_ref:  [1, K, 4]  candidate boxes (any order)
-    scores_ref: [1, C, K]  per-class scores of the same candidates
-                           (class-major so each class is a sublane slice)
-    thresh_ref: [2] SMEM   (iou_thresh, score_thresh)
-    keep_ref:   [1, C, K]  keep masks
+    boxes_ref:  [IB, K, 4]  candidate boxes (any order)
+    scores_ref: [IB, C, K]  per-class scores of the same candidates
+                            (class-major so each class is a sublane slice)
+    thresh_ref: [2] SMEM    (iou_thresh, score_thresh)
+    act_ref:    [IB, C/CH] SMEM  1 where the class chunk has any score >=
+                            score_thresh (precomputed in XLA — deciding this
+                            in-kernel costs a vector->scalar pipeline drain
+                            per chunk, which dominated the sparse case)
+    keep_ref:   [IB, C, K]  keep masks
+    iou_scratch:[IB, K, K]  VMEM scratch for the block's IoU>t masks
 
-    The IoU>t mask is computed ONCE; classes are processed in chunks of
-    _CLASS_CHUNK: the score-rank ordering mask (greedy order =
+    Per image, the IoU>t mask is computed ONCE; classes are processed in
+    chunks of _CLASS_CHUNK: the score-rank ordering mask (greedy order =
     score-descending, ties by candidate index) is built vectorized for the
     whole chunk, and one fixpoint loop runs the chunk jointly (it converges
     when the chunk's deepest suppression chain does — typically 2-3
@@ -132,66 +139,82 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, keep_ref):
     mask build + fixpoint entirely (semantically identity — all-invalid
     classes yield all-zero keep masks), which is the common case for a
     trained detector firing on a handful of classes per image.
+
+    The image loop lives INSIDE the program (grid = B / IB) because each
+    image's work is only ~10 us: at grid = B the per-program launch overhead
+    was the dominant cost of the whole NMS stage (measured ~2x the compute).
     """
+    ib = boxes_ref.shape[0]
     k = boxes_ref.shape[1]
     c = scores_ref.shape[1]
     chunk = _CLASS_CHUNK
-    boxes = boxes_ref[0].astype(jnp.float32)
     iou_t = thresh_ref[0]
     score_t = thresh_ref[1]
-
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (x1 - x0) * (y1 - y0)
-    ix0 = jnp.maximum(x0[:, None], x0[None, :])
-    iy0 = jnp.maximum(y0[:, None], y0[None, :])
-    ix1 = jnp.minimum(x1[:, None], x1[None, :])
-    iy1 = jnp.minimum(y1[:, None], y1[None, :])
-    iw = jnp.maximum(ix1 - ix0, 0.0)
-    ih = jnp.maximum(iy1 - iy0, 0.0)
-    inter = iw * ih
-    iou = inter / (area[:, None] + area[None, :] - inter + 1e-10)
-    iou_mask = iou > iou_t                                 # [K, K], shared
 
     rows_lt_cols = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
                     < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
 
-    def per_chunk(ch, _):
-        # dynamic slicing must address the ref directly (Mosaic requirement)
-        s = scores_ref[0, pl.ds(ch * chunk, chunk), :].astype(jnp.float32)
+    # IoU masks for the whole image block in one vectorized pass — a
+    # per-image build is latency-bound (short serial op chains on [K, K]
+    # tiles), which dominated the kernel at ~10 us/image.
+    bx = boxes_ref[...].astype(jnp.float32)                # [IB, K, 4]
+    x0, y0, x1, y1 = bx[..., 0], bx[..., 1], bx[..., 2], bx[..., 3]
+    area = (x1 - x0) * (y1 - y0)
+    ix0 = jnp.maximum(x0[:, :, None], x0[:, None, :])
+    iy0 = jnp.maximum(y0[:, :, None], y0[:, None, :])
+    ix1 = jnp.minimum(x1[:, :, None], x1[:, None, :])
+    iy1 = jnp.minimum(y1[:, :, None], y1[:, None, :])
+    iw = jnp.maximum(ix1 - ix0, 0.0)
+    ih = jnp.maximum(iy1 - iy0, 0.0)
+    inter = iw * ih
+    iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-10)
+    iou_scratch[...] = (iou > iou_t).astype(jnp.float32)   # [IB, K, K]
 
-        @pl.when(jnp.max(s) < score_t)
-        def _empty():
-            keep_ref[0, pl.ds(ch * chunk, chunk), :] = jnp.zeros(
-                (chunk, k), jnp.float32)
+    def per_image(im, _):
+        iou_mask = iou_scratch[im] > 0.5                   # [K, K], shared
 
-        @pl.when(jnp.max(s) >= score_t)
-        def _suppress():
-            valid = (s >= score_t).astype(jnp.float32)            # [CH, K]
-            # rank mask per class: i precedes j in greedy order
-            rank = (s[:, :, None] > s[:, None, :]) | (
-                (s[:, :, None] == s[:, None, :]) & rows_lt_cols[None])
-            m = (iou_mask[None] & rank).astype(jnp.float32)       # [CH, K, K]
+        def per_chunk(ch, _):
+            active = act_ref[im, ch]
 
-            def cond(carry):
-                keep, prev, it = carry
-                return jnp.logical_and(it < k, jnp.any(keep != prev))
+            @pl.when(active == 0)
+            def _empty():
+                keep_ref[im, pl.ds(ch * chunk, chunk), :] = jnp.zeros(
+                    (chunk, k), jnp.float32)
 
-            def body(carry):
-                keep, _, it = carry
-                # suppressed_cj = max_i keep_ci * m_cij  (> 0 iff any kept
-                # higher-ranked overlapping box) — VPU sublane reduction,
-                # vectorized over the chunk
-                suppressed = jnp.max(m * keep[:, :, None], axis=1)
-                return (valid * (suppressed <= 0.0).astype(jnp.float32),
-                        keep, it + 1)
+            @pl.when(active != 0)
+            def _suppress():
+                # dynamic slicing must address the ref directly (Mosaic req.)
+                s = scores_ref[im, pl.ds(ch * chunk, chunk), :].astype(
+                    jnp.float32)
+                valid = (s >= score_t).astype(jnp.float32)        # [CH, K]
+                # rank mask per class: i precedes j in greedy order
+                rank = (s[:, :, None] > s[:, None, :]) | (
+                    (s[:, :, None] == s[:, None, :]) & rows_lt_cols[None])
+                m = (iou_mask[None] & rank).astype(jnp.float32)  # [CH, K, K]
 
-            keep, _, _ = jax.lax.while_loop(
-                cond, body, (valid, -jnp.ones_like(valid), jnp.int32(0)))
-            keep_ref[0, pl.ds(ch * chunk, chunk), :] = keep
+                def cond(carry):
+                    keep, prev, it = carry
+                    return jnp.logical_and(it < k, jnp.any(keep != prev))
 
+                def body(carry):
+                    keep, _, it = carry
+                    # suppressed_cj = max_i keep_ci * m_cij (> 0 iff any
+                    # kept higher-ranked overlapping box) — VPU sublane
+                    # reduction, vectorized over the chunk
+                    suppressed = jnp.max(m * keep[:, :, None], axis=1)
+                    return (valid * (suppressed <= 0.0).astype(jnp.float32),
+                            keep, it + 1)
+
+                keep, _, _ = jax.lax.while_loop(
+                    cond, body, (valid, -jnp.ones_like(valid), jnp.int32(0)))
+                keep_ref[im, pl.ds(ch * chunk, chunk), :] = keep
+
+            return 0
+
+        jax.lax.fori_loop(0, c // chunk, per_chunk, 0)
         return 0
 
-    jax.lax.fori_loop(0, c // chunk, per_chunk, 0)
+    jax.lax.fori_loop(0, ib, per_image, 0)
 
 
 _CLASS_CHUNK = 16  # class-chunk width for the shared kernel (vectorized rank build)
@@ -224,22 +247,37 @@ def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
     if c_pad != c:
         scores_ck = jnp.pad(scores_ck, ((0, 0), (0, c_pad - c), (0, 0)),
                             constant_values=-1.0)           # padded -> invalid
+    # Images per program: amortize launch overhead (see kernel docstring),
+    # bounded by VMEM (double-buffered score/keep blocks + the IoU scratch;
+    # IB=64 at C=80 measured over the 16 MB scoped-vmem limit).
+    per_img = k * 4 * (4 * c_pad + k + 8)
+    ib = 1
+    for cand_ib in (2, 4, 8, 16, 32):
+        if b % cand_ib == 0 and cand_ib * per_img <= 10 * 1024 * 1024:
+            ib = cand_ib
+    # chunk-activity bits, computed where they fuse into the score producer
+    act = (jnp.max(
+        scores_ck.reshape(b, c_pad // _CLASS_CHUNK, _CLASS_CHUNK, k),
+        axis=(2, 3)) >= score_thresh).astype(jnp.int32)     # [B, C/CH]
 
     keep = pl.pallas_call(
         _nms_shared_kernel,
-        grid=(b,),
+        grid=(b // ib,),
         in_specs=[
-            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((ib, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((ib, c_pad, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ib, c_pad // _CLASS_CHUNK), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, c_pad, k), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((ib, c_pad, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c_pad, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ib, k, k), jnp.float32)],
         interpret=interpret,
-    )(boxes.astype(jnp.float32), scores_ck.astype(jnp.float32), thresh)
+    )(boxes.astype(jnp.float32), scores_ck.astype(jnp.float32), thresh, act)
     return keep[:, :c, :] > 0.5
 
 

@@ -68,11 +68,16 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                   (ops.fast_postprocess.postprocess_prefilter) — exact at
                   demo thresholds whenever <= box_topk boxes pass the score
                   threshold
-      "split"     the serving fast path: split detection convs
-                  (lane-aligned class blocks, boxconf rows) + candidate
-                  prefilter + Pallas shared NMS — same math as "prefilter",
-                  profiled fastest; detection rows come out in candidate
-                  order (not per-class score order) when max_out >= box_topk
+      "split"     serving fast path: split detection convs (lane-aligned
+                  class blocks, boxconf rows) + candidate prefilter +
+                  Pallas shared NMS — same math as "prefilter"; detection
+                  rows come out in candidate order (not per-class score
+                  order) when max_out >= box_topk
+      "packed"    fastest serving path: ONE detection conv per scale with
+                  per-anchor 128-lane packed blocks; candidate selection
+                  scores by whole-block lane max (a slightly different —
+                  still exact-final-score — selection heuristic; see
+                  ops/fast_postprocess.py packed-head note)
     (A lane-aligned padding of the whole detection conv was also tried and
     measured perf-neutral — see the note in ops/fast_postprocess.py;
     the "split" head is the design that did pay off.)
@@ -97,6 +102,23 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                 use_pallas=use_pallas)
 
         return detect_split
+
+    if mode == "packed":
+        from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+            pack_serving_head, postprocess_packed, yolov3_forward_packed)
+        packed = pack_serving_head(folded, num_classes)
+
+        @jax.jit
+        def detect_packed(images: jax.Array) -> Dict[str, jax.Array]:
+            outs = yolov3_forward_packed(packed, images,
+                                         compute_dtype=compute_dtype)
+            return postprocess_packed(
+                outs, anchors, num_classes, img_size, max_out=max_out,
+                box_topk=box_topk, score_thresh=score_thresh,
+                iou_thresh=iou_thresh, approx_topk=approx_topk,
+                use_pallas=use_pallas)
+
+        return detect_packed
 
     @jax.jit
     def detect(images: jax.Array) -> Dict[str, jax.Array]:

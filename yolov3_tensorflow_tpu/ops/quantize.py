@@ -170,6 +170,26 @@ def yolov3_forward_int8_split(qparams_split: Params, images: jax.Array):
             qparams_split["head"][f"conv_{i}"], x), routes))
 
 
+def yolov3_forward_int8_packed(qparams_packed: Params, images: jax.Array):
+    """Quantized forward emitting packed head outputs (the fastest serving
+    path). qparams_packed = fast_postprocess.pack_serving_head(
+    quantize_model(...)); returns the yolov3_forward_packed contract, for
+    postprocess_packed."""
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        apply_packed_output_conv)
+
+    def bn_conv(scope, name, x, stride=1):
+        return _conv_int8(x, qparams_packed[scope][name], stride)
+
+    x = images.astype(jnp.bfloat16)
+    routes = _backbone_forward(
+        lambda i, x, s: bn_conv("backbone", f"conv_{i}", x, s), x)
+    return list(_head_forward(
+        lambda i, x: bn_conv("head", f"conv_{i}", x),
+        lambda i, x: apply_packed_output_conv(
+            qparams_packed["head"][f"conv_{i}"], x), routes))
+
+
 def build_detector_int8(variables: Params, anchors, num_classes: int,
                         img_size: Tuple[int, int], *,
                         calibration_images: jax.Array,
