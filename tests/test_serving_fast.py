@@ -186,6 +186,76 @@ def test_packed_head_shapes(folded):
         assert p.dtype == jnp.bfloat16
 
 
+def test_packed_head_voc_row_width():
+    """C=20 (VOC) also packs into one 128-lane block per anchor."""
+    variables = init_yolov3(jax.random.PRNGKey(1), num_classes=20)
+    f20 = fold_batch_norm(variables, dtype=jnp.float32)
+    packed = pack_serving_head(f20, 20, out_dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    outs = yolov3_forward_packed(packed, img, compute_dtype=jnp.float32,
+                                 out_dtype=jnp.float32)
+    for p, stride in zip(outs, (32, 16, 8)):
+        g = 64 // stride
+        assert p.shape == (1, g, g, 3 * 128)
+        blk = np.asarray(p).reshape(1, g, g, 3, 128)
+        # layout: [cls 0:20, conf @20, box @21:25, pad(-30) @25:]
+        assert np.all(blk[..., 25:] < -20)
+
+
+def test_packed_postprocess_k_not_lane_multiple():
+    """box_topk < 128 pads candidates for the Pallas kernel; pad rows can
+    never survive (zero boxes, zero scores). CPU path (use_pallas=False)
+    must agree with the padded kernel path in interpret mode."""
+    from yolov3_tensorflow_tpu.config import DEFAULT_ANCHORS
+    anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
+    c = 80
+    row = head_row_width(c)
+    rng = np.random.default_rng(9)
+    b = 2
+    pouts = []
+    for g in (2, 4, 8):
+        packed = np.full((b, g, g, 3, row), -30.0, np.float32)
+        packed[..., :c] = rng.uniform(0, 4, (b, g, g, 3, c))
+        packed[..., c] = rng.uniform(-2, 2, (b, g, g, 3))
+        packed[..., c + 1:c + 5] = rng.uniform(-1, 1, (b, g, g, 3, 4))
+        pouts.append(jnp.asarray(packed.reshape(b, g, g, 3 * row)))
+
+    ref = postprocess_packed(pouts, anchors, c, (64, 64), max_out=128,
+                             box_topk=64, score_thresh=0.3, iou_thresh=0.45,
+                             approx_topk=False, use_pallas=False)
+    ve = np.asarray(ref["valid"]).astype(bool)
+    assert ve.any()
+
+    import jax.experimental.pallas  # noqa: F401  (skip if unavailable)
+    from unittest import mock
+    from yolov3_tensorflow_tpu.ops import nms_pallas as np_mod
+    orig = np_mod.batched_nms_shared_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(np_mod, "batched_nms_shared_pallas", interp):
+        got = postprocess_packed(pouts, anchors, c, (64, 64), max_out=128,
+                                 box_topk=64, score_thresh=0.3,
+                                 iou_thresh=0.45, approx_topk=False,
+                                 use_pallas=True)
+    # same surviving detections (row layouts differ between the two
+    # backends: compare as sets of (label, rounded box, rounded score))
+    def det_set(d):
+        v = np.asarray(d["valid"]).astype(bool)
+        out = set()
+        for i in range(b):
+            for bx, sc, lb in zip(np.asarray(d["boxes"])[i][v[i]],
+                                  np.asarray(d["scores"])[i][v[i]],
+                                  np.asarray(d["labels"])[i][v[i]]):
+                out.add((i, int(lb), round(float(sc), 4),
+                         tuple(np.round(bx, 2))))
+        return out
+    assert det_set(ref) == det_set(got)
+
+
 def test_split_head_shapes(folded):
     """Split outputs carry the documented layouts."""
     split = split_serving_head(folded, 80)

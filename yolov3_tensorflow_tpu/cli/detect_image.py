@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_thresh", type=float, default=0.3)
     p.add_argument("--nms_thresh", type=float, default=0.45)
     p.add_argument("--max_boxes", type=int, default=200)
+    p.add_argument("--mode", type=str, default="prefilter",
+                   choices=["exact", "prefilter", "split", "packed"],
+                   help="postprocess pipeline (ops.postprocess.build_detector)"
+                        ": prefilter is exact at demo thresholds; packed is "
+                        "the fastest serving path")
     p.add_argument("--output", type=str, default="detection_result.jpg")
     p.add_argument("--show", action="store_true")
     return p
@@ -89,7 +94,7 @@ def main(argv=None) -> int:
         variables, anchors, num_classes,
         (args.new_size[1], args.new_size[0]),
         max_out=args.max_boxes, score_thresh=args.score_thresh,
-        iou_thresh=args.nms_thresh)
+        iou_thresh=args.nms_thresh, mode=args.mode)
 
     dets = detect(inp)
     boxes, scores, labels = detections_to_numpy(dets, 0)

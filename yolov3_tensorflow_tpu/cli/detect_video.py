@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="letterbox+normalize on the TPU from raw uint8 "
                         "frames (4x less host->device traffic); implies "
                         "letterbox_resize")
+    p.add_argument("--mode", type=str, default="prefilter",
+                   choices=["exact", "prefilter", "split", "packed"],
+                   help="postprocess pipeline; packed is the fastest "
+                        "serving path (streaming supports prefilter/packed)")
     return p
 
 
@@ -72,17 +76,19 @@ def main(argv=None) -> int:
     if use_device_pre:
         from yolov3_tensorflow_tpu.ops.preprocess import (
             build_streaming_detector)
+        stream_mode = args.mode if args.mode in ("prefilter", "packed") \
+            else "prefilter"
         detect_stream, invert_stream = build_streaming_detector(
             variables, anchors, num_classes, (height, width),
             (args.new_size[1], args.new_size[0]), max_out=args.max_boxes,
             score_thresh=args.score_thresh, iou_thresh=args.nms_thresh,
-            bgr_input=True)
+            bgr_input=True, mode=stream_mode)
     else:
         detect = build_detector(
             variables, anchors, num_classes,
             (args.new_size[1], args.new_size[0]),
             max_out=args.max_boxes, score_thresh=args.score_thresh,
-            iou_thresh=args.nms_thresh)
+            iou_thresh=args.nms_thresh, mode=args.mode)
 
     pending = None  # (frame, inv, device detections) in flight
     frames = 0

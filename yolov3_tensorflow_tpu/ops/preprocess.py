@@ -59,19 +59,28 @@ def build_streaming_detector(variables, anchors, num_classes: int,
                              max_out: int = 200, score_thresh: float = 0.3,
                              iou_thresh: float = 0.45,
                              compute_dtype=jnp.bfloat16,
-                             bgr_input: bool = False):
+                             bgr_input: bool = False,
+                             mode: str = "prefilter"):
     """End-to-end streaming detector: raw uint8 frames in, detections out.
 
     One jitted program: device letterbox -> BN-folded forward -> decode ->
     Pallas NMS. Returns (detect_fn, inverse_transform) where
     inverse_transform maps output boxes back to original-frame pixels
     (the (boxes - pad) / ratio math of test_single_image.py:65-70).
+    mode: "prefilter" (exact at demo thresholds) or "packed" (the fastest
+    serving head — see ops.fast_postprocess).
     """
     from yolov3_tensorflow_tpu.models.yolov3 import (fold_batch_norm,
                                                      yolov3_forward_folded)
-    from yolov3_tensorflow_tpu.ops.fast_postprocess import postprocess_prefilter
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        pack_serving_head, postprocess_packed, postprocess_prefilter,
+        yolov3_forward_packed)
 
     folded = fold_batch_norm(variables, dtype=compute_dtype)
+    if mode == "packed":
+        folded = pack_serving_head(folded, num_classes)
+    elif mode != "prefilter":
+        raise ValueError(f"unsupported streaming mode: {mode!r}")
     ratio, _, _, pad_h, pad_w = letterbox_params(src_hw, dst_hw)
 
     @jax.jit
@@ -79,6 +88,13 @@ def build_streaming_detector(variables, anchors, num_classes: int,
         if bgr_input:  # OpenCV frames: channel flip on device, not host
             frames_u8 = frames_u8[..., ::-1]
         images = device_letterbox(frames_u8, dst_hw)
+        if mode == "packed":
+            outs = yolov3_forward_packed(folded, images,
+                                         compute_dtype=compute_dtype)
+            return postprocess_packed(
+                outs, anchors, num_classes, dst_hw, max_out=max_out,
+                box_topk=128, score_thresh=score_thresh,
+                iou_thresh=iou_thresh)
         fmaps = yolov3_forward_folded(folded, images,
                                       compute_dtype=compute_dtype)
         return postprocess_prefilter(
