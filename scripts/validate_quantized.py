@@ -102,6 +102,19 @@ def main(argv=None) -> int:
                                 score_thresh=e.score_threshold,
                                 iou_thresh=e.nms_threshold)
 
+    from yolov3_tensorflow_tpu.ops.quantize import (quantize_model_chained,
+                                                    yolov3_forward_int8_chained)
+    qchained = quantize_model_chained(variables, scales)
+
+    @jax.jit
+    def eval_int8_chained(images):
+        fmaps = yolov3_forward_int8_chained(qchained, images, head="plain")
+        boxes, confs, probs = predict_boxes(fmaps, anchors, num_classes, size)
+        return batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
+                                pre_topk=e.pre_nms_topk,
+                                score_thresh=e.score_threshold,
+                                iou_thresh=e.nms_threshold)
+
     def run_map(step):
         rows = []
         for b in batches:
@@ -114,6 +127,7 @@ def main(argv=None) -> int:
 
     map_bf16 = run_map(eval_bf16)
     map_int8 = run_map(eval_int8)
+    map_int8_chained = run_map(eval_int8_chained)
 
     # ---- approx_topk vs exact prefilter at serving thresholds ----
     def serving(approx):
@@ -193,6 +207,7 @@ def main(argv=None) -> int:
         "images": sum(b.images.shape[0] for b in batches),
         "mAP_bf16": round(float(map_bf16["mAP"]), 4),
         "mAP_int8": round(float(map_int8["mAP"]), 4),
+        "mAP_int8_chained": round(float(map_int8_chained["mAP"]), 4),
         "int8_map_delta": round(float(map_bf16["mAP"] - map_int8["mAP"]), 4),
         "approx_topk_identity": round(matched / max(total, 1), 4),
         "approx_topk_exact_dets": total,

@@ -85,3 +85,43 @@ def test_aligned_head_padding_is_exact(setup):
                                rtol=1e-5, atol=1e-5)
     # padding channels carry exactly the (zero-weight) bias = 0
     np.testing.assert_array_equal(raw_a[..., 5 + NUM_CLASSES:], 0.0)
+
+
+def test_int8_chained_matches_basic(setup):
+    """The int8-chained forward (int8 activations end-to-end, fused residual
+    adds, split post-concat convs) tracks the basic int8 path within the
+    extra per-edge rounding noise."""
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import pack_serving_head
+    from yolov3_tensorflow_tpu.ops.quantize import (
+        quantize_model_chained, yolov3_forward_int8_chained,
+        yolov3_forward_int8_packed)
+
+    variables, images, scales = setup
+    qc = pack_serving_head(quantize_model_chained(variables, scales),
+                           NUM_CLASSES)
+    qp = pack_serving_head(quantize_model(variables, scales), NUM_CLASSES)
+    outs = yolov3_forward_int8_chained(qc, images)
+    ref = yolov3_forward_int8_packed(qp, images)
+    for p, r in zip(outs, ref):
+        a = np.asarray(p, np.float32)
+        b = np.asarray(r, np.float32)
+        assert a.shape == b.shape
+        m = b > -20                      # ignore the -30 pad lanes
+        d = np.abs(a - b)[m]
+        # one extra int8 rounding per activation edge; logits here are O(0.3)
+        assert d.max() < 0.05, d.max()
+        corr = np.corrcoef(a[m].ravel(), b[m].ravel())[0, 1]
+        assert corr > 0.999, corr
+
+
+def test_int8_chained_plain_head(setup):
+    """head="plain" emits the 3 raw 3*(5+C)-channel feature maps."""
+    from yolov3_tensorflow_tpu.ops.quantize import (
+        quantize_model_chained, yolov3_forward_int8_chained)
+
+    variables, images, scales = setup
+    qc = quantize_model_chained(variables, scales)
+    fmaps = yolov3_forward_int8_chained(qc, images, head="plain")
+    for fm, stride in zip(fmaps, (32, 16, 8)):
+        g = 64 // stride
+        assert fm.shape == (2, g, g, 3 * (5 + NUM_CLASSES))

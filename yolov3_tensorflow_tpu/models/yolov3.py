@@ -188,21 +188,35 @@ def _head_input_channels(num_classes: int) -> Dict[int, int]:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _backbone_forward(conv_fn, x: jax.Array) -> Tuple[jax.Array, ...]:
-    """Walk BACKBONE_PLAN; `conv_fn(idx, x, stride)` applies conv idx."""
+def _backbone_forward(conv_fn, x: jax.Array, *,
+                      fused_residual: bool = False) -> Tuple[jax.Array, ...]:
+    """Walk BACKBONE_PLAN; `conv_fn(idx, x, stride)` applies conv idx.
+
+    fused_residual=True passes the pending shortcut to the LAST conv of each
+    residual block as `conv_fn(idx, x, stride, shortcut)` and skips the
+    `x + shortcut` here — for executions that fold the add into the conv
+    epilogue (the int8-chained serving forward, where the add must happen in
+    the dequantized domain before requantization)."""
     routes: List[jax.Array] = []
     shortcut: Optional[jax.Array] = None
     idx = 0
-    for op in BACKBONE_PLAN:
+    for i, op in enumerate(BACKBONE_PLAN):
         kind = op[0]
         if kind == "conv":
             _, _, _, stride = op
-            x = conv_fn(idx, x, stride)
+            closes_res = (fused_residual and i + 1 < len(BACKBONE_PLAN)
+                          and BACKBONE_PLAN[i + 1][0] == "res_end")
+            if closes_res:
+                x = conv_fn(idx, x, stride, shortcut)
+                shortcut = None
+            else:
+                x = conv_fn(idx, x, stride)
             idx += 1
         elif kind == "res_begin":
             shortcut = x
         elif kind == "res_end":
-            x = x + shortcut
+            if not fused_residual:
+                x = x + shortcut
         elif kind == "route":
             routes.append(x)
     return tuple(routes)

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolov3_tensorflow_tpu.models import layers as L
-from yolov3_tensorflow_tpu.models.yolov3 import (_backbone_forward,
+from yolov3_tensorflow_tpu.models.layers import upsample_nearest_2x
+from yolov3_tensorflow_tpu.models.yolov3 import (BACKBONE_PLAN,
+                                                 _backbone_forward,
                                                  _head_forward,
                                                  fold_batch_norm)
 
@@ -190,20 +192,256 @@ def yolov3_forward_int8_packed(qparams_packed: Params, images: jax.Array):
             qparams_packed["head"][f"conv_{i}"], x), routes))
 
 
+# ---------------------------------------------------------------------------
+# int8-chained forward: activations stay int8 between layers
+# ---------------------------------------------------------------------------
+#
+# The basic int8 path above nominally keeps activations bf16 between layers
+# (write-bf16 + read-bf16 + write-int8 + read-int8 = 6 bytes/elem on paper).
+# MEASURED OUTCOME on v5e: this variant is only ~1% faster end-to-end
+# (38.7 vs 38.8 ms/batch-128 forward) — XLA already fuses the consumer's
+# quantize pass into single-consumer producers' epilogues, so the bf16
+# intermediate mostly never hits HBM in the basic path either. The chained
+# form is kept because it (a) makes that guarantee explicit rather than
+# fusion-dependent, (b) eliminates the FPN concat tensors entirely, and
+# (c) is the substrate for any future int8 work. Design:
+#
+# - every activation tensor is int8 with a static (trace-time) scale; a conv
+#   consuming (x8, s) uses eff = w_scale * s exactly — no requantization is
+#   ever needed to "match" a consumer
+# - scales come from the EXISTING calibration (per-conv input abs-max): a
+#   conv's emission scale is its consumer conv's input scale
+# - residual adds are fused into the closing 3x3 conv's epilogue in the
+#   dequantized domain (models.yolov3._backbone_forward fused_residual) —
+#   the post-add tensor is the next conv's calibrated input
+# - the FPN concats are ELIMINATED: the post-concat 1x1 convs (head conv_8 /
+#   conv_16) are split along input channels into one matmul per part, each
+#   with its own input scale, summed in the epilogue (same math, and the
+#   concat tensor is never materialized)
+# - conv_5/conv_13/conv_21 emit bf16 for the (bf16) detection output convs
+#
+# Accuracy note: vs yolov3_forward_int8 this adds one int8 rounding per
+# activation edge (the bf16 intermediate becomes int8). Validate with
+# scripts/validate_quantized.py --chained on a trained checkpoint.
+
+
+def _scale_of(act_scales: Params, scope: str, name: str) -> float:
+    return max(float(act_scales[scope][name]), 1e-12) / 127.0
+
+
+def _requant(y: jax.Array, s_out: float) -> jax.Array:
+    return jnp.clip(jnp.round(y * (1.0 / s_out)), -127, 127).astype(jnp.int8)
+
+
+def _conv_int8_chained(x8: jax.Array, s_in: float, qp: Params, stride: int,
+                       *, shortcut=None, s_out=None) -> jax.Array:
+    """int8 conv + fused dequant/bias/leaky[/residual-add][/requant] epilogue.
+
+    x8 int8 at scale s_in; shortcut optional (t8, st) added after the
+    activation (darknet residual order); s_out None -> emit bf16, else emit
+    int8 at s_out."""
+    k = qp["w8"].shape[0]
+    pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x8, qp["w8"], window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (qp["w_scale"] * s_in) + qp["b"]
+    y = L.leaky_relu(y)
+    if shortcut is not None:
+        t8, st = shortcut
+        y = y + t8.astype(jnp.float32) * st
+    if s_out is None:
+        return y.astype(jnp.bfloat16)
+    return _requant(y, s_out)
+
+
+def quantize_model_chained(variables: Params, act_scales: Params) -> Params:
+    """Like quantize_model but stores per-channel `w_scale` unmultiplied
+    (the chained forward folds the actual input scale in at trace time),
+    plus the raw activation-scale table under "act"."""
+    folded = fold_batch_norm(variables, dtype=jnp.float32)
+    q: Params = {}
+    for scope, convs in folded.items():
+        q[scope] = {}
+        for name, p in convs.items():
+            is_output = scope == "head" and name in ("conv_6", "conv_14",
+                                                     "conv_22")
+            if is_output:
+                q[scope][name] = {"w": p["w"].astype(jnp.bfloat16),
+                                  "b": p["b"].astype(jnp.float32)}
+                continue
+            w = np.asarray(p["w"], np.float32)
+            w_absmax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)
+            w_scale = w_absmax / 127.0
+            w8 = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+            q[scope][name] = {
+                "w8": jnp.asarray(w8),
+                "w_scale": jnp.asarray(w_scale, jnp.float32),
+                "b": jnp.asarray(np.asarray(p["b"], np.float32)),
+            }
+    q["act"] = jax.tree_util.tree_map(float, act_scales)
+    return q
+
+
+def yolov3_forward_int8_chained(qc: Params, images: jax.Array,
+                                head: str = "packed"):
+    """int8-chained inference forward (see the design note above).
+
+    qc = pack_serving_head(quantize_model_chained(...), C) for head="packed"
+    (the three output convs carry {"packed": {w, b}} / plain {"w", "b"} for
+    head="plain"). Returns the yolov3_forward_packed contract ("packed") or
+    3 raw feature maps ("plain")."""
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        apply_packed_output_conv)
+    act = qc["act"]
+
+    def s_in_b(idx):
+        return _scale_of(act, "backbone", f"conv_{idx}")
+
+    def s_in_h(idx):
+        return _scale_of(act, "head", f"conv_{idx}")
+
+    n_backbone = sum(1 for op in BACKBONE_PLAN if op[0] == "conv")
+
+    def backbone_conv(idx, x8, stride, shortcut=None):
+        s_out = s_in_b(idx + 1) if idx + 1 < n_backbone else s_in_h(0)
+        return _conv_int8_chained(
+            x8, s_in_b(idx), qc["backbone"][f"conv_{idx}"], stride,
+            shortcut=None if shortcut is None else (shortcut, s_in_b(idx - 1)),
+            s_out=s_out)
+
+    x8 = _requant(images.astype(jnp.float32), s_in_b(0))
+    routes = _backbone_forward(backbone_conv, x8, fused_residual=True)
+    r1_8, r2_8, r3_8 = routes
+    # Route tensors carry the scale of the backbone conv that consumes them
+    # next (their emission scale): route_1 -> conv_26, route_2 -> conv_43
+    # (plan: convs 0-25, route, 26-42, route, 43-51, route); route_3 is the
+    # final tensor, emitted at head conv_0's input scale.
+    s_r1 = s_in_b(26)
+    s_r2 = s_in_b(43)
+
+    def hconv(i, x8, s_in, s_out):
+        return _conv_int8_chained(x8, s_in, qc["head"][f"conv_{i}"], 1,
+                                  s_out=s_out)
+
+    # ---- scale-32 branch ----
+    x = r3_8
+    s = s_in_h(0)
+    for i in range(5):
+        nxt = s_in_h(i + 1)
+        x = hconv(i, x, s, nxt)
+        s = nxt
+    inter1, s_inter1 = x, s                       # inter1 at conv_5's scale
+    xb = hconv(5, inter1, s_inter1, None)         # bf16 for the output conv
+    fmap_1 = apply_packed_output_conv(qc["head"]["conv_6"], xb) \
+        if head == "packed" else L.conv_bias(xb, qc["head"]["conv_6"],
+                                             compute_dtype=jnp.bfloat16)
+
+    # ---- scale-16 branch: upsample + SPLIT post-concat conv_8 ----
+    a8 = hconv(7, inter1, s_inter1, s_in_h(8))
+    a8 = upsample_nearest_2x(a8)                  # int8 passthrough
+    x = _concat_split_conv(qc["head"]["conv_8"], a8, s_in_h(8), r2_8, s_r2,
+                           s_out=s_in_h(9))
+    s = s_in_h(9)
+    for i in range(9, 13):
+        nxt = s_in_h(i + 1)
+        x = hconv(i, x, s, nxt)
+        s = nxt
+    inter2, s_inter2 = x, s
+    xb = hconv(13, inter2, s_inter2, None)
+    fmap_2 = apply_packed_output_conv(qc["head"]["conv_14"], xb) \
+        if head == "packed" else L.conv_bias(xb, qc["head"]["conv_14"],
+                                             compute_dtype=jnp.bfloat16)
+
+    # ---- scale-8 branch ----
+    a8 = hconv(15, inter2, s_inter2, s_in_h(16))
+    a8 = upsample_nearest_2x(a8)
+    x = _concat_split_conv(qc["head"]["conv_16"], a8, s_in_h(16), r1_8, s_r1,
+                           s_out=s_in_h(17))
+    s = s_in_h(17)
+    for i in range(17, 21):
+        nxt = s_in_h(i + 1)
+        x = hconv(i, x, s, nxt)
+        s = nxt
+    xb = hconv(21, x, s, None)
+    fmap_3 = apply_packed_output_conv(qc["head"]["conv_22"], xb) \
+        if head == "packed" else L.conv_bias(xb, qc["head"]["conv_22"],
+                                             compute_dtype=jnp.bfloat16)
+    return [fmap_1, fmap_2, fmap_3]
+
+
+def _concat_split_conv(qp: Params, a8: jax.Array, sa: float,
+                       b8: jax.Array, sb: float, *, s_out: float
+                       ) -> jax.Array:
+    """conv(concat([a, b])) as two int8 matmuls with per-part input scales,
+    summed in the epilogue — the concat tensor never exists. The 1x1 conv's
+    weights are split along input channels; w_scale (per OUTPUT channel) is
+    shared by both parts."""
+    ca = a8.shape[-1]
+    wa = qp["w8"][:, :, :ca, :]
+    wb = qp["w8"][:, :, ca:, :]
+
+    def part(x8, w8):
+        return jax.lax.conv_general_dilated(
+            x8, w8, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    y = (part(a8, wa) * sa + part(b8, wb) * sb) * qp["w_scale"] + qp["b"]
+    return _requant(L.leaky_relu(y), s_out)
+
+
 def build_detector_int8(variables: Params, anchors, num_classes: int,
                         img_size: Tuple[int, int], *,
                         calibration_images: jax.Array,
                         max_out: int = 200, score_thresh: float = 0.3,
-                        iou_thresh: float = 0.45, box_topk: int = 128):
+                        iou_thresh: float = 0.45, box_topk: int = 128,
+                        mode: str = "prefilter",
+                        approx_topk: bool = False):
     """Calibrate + quantize + build a jitted int8 detector.
 
-    Same output contract as ops.postprocess.build_detector.
+    Same output contract and mode semantics as
+    ops.postprocess.build_detector; modes:
+      "prefilter"  bf16-linked int8 forward + prefilter postprocess
+      "packed"     packed serving head (fastest; bench configuration)
+      "chained"    int8-chained forward (int8 activations end-to-end) +
+                   packed postprocess
     """
-    from yolov3_tensorflow_tpu.ops.fast_postprocess import postprocess_prefilter
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        pack_serving_head, postprocess_packed, postprocess_prefilter)
 
     scales = calibrate_activation_scales(variables, calibration_images)
-    qparams = quantize_model(variables, scales)
     anchors = np.asarray(anchors, np.float32)
+
+    if mode in ("packed", "chained"):
+        if mode == "chained":
+            qparams = pack_serving_head(
+                quantize_model_chained(variables, scales), num_classes)
+
+            def forward(images):
+                return yolov3_forward_int8_chained(qparams, images)
+        else:
+            qparams = pack_serving_head(quantize_model(variables, scales),
+                                        num_classes)
+
+            def forward(images):
+                return yolov3_forward_int8_packed(qparams, images)
+
+        @jax.jit
+        def detect_packed(images: jax.Array):
+            return postprocess_packed(
+                forward(images), anchors, num_classes, img_size,
+                max_out=max_out, box_topk=box_topk,
+                score_thresh=score_thresh, iou_thresh=iou_thresh,
+                approx_topk=approx_topk)
+
+        return detect_packed, qparams
+
+    if mode != "prefilter":
+        raise ValueError(f"unsupported int8 detector mode: {mode!r}")
+    qparams = quantize_model(variables, scales)
 
     @jax.jit
     def detect(images: jax.Array):
