@@ -62,3 +62,41 @@ def test_detector_golden_regression():
     np.testing.assert_allclose(
         sorted(scores)[-4:],
         [0.27150685, 0.27330402, 0.27973434, 0.28179774], atol=2e-4)
+
+
+def test_detect_video_cli_end_to_end(tmp_path):
+    """Video demo surface: mp4 -> streaming (device-preprocess) pipeline
+    with the packed serving mode -> annotated mp4 out; exercises the
+    in-flight frame queue and the single-buffer detection fetch."""
+    from yolov3_tensorflow_tpu.cli import detect_video
+
+    names = tmp_path / "names.txt"
+    names.write_text("a\nb\nc\n")
+    variables = init_yolov3(jax.random.PRNGKey(8), 3)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.save("m", {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]})
+
+    rng = np.random.default_rng(1)
+    vid_path = str(tmp_path / "in.mp4")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                         (120, 90))
+    for _ in range(6):
+        vw.write(rng.integers(0, 255, (90, 120, 3), dtype=np.uint8))
+    vw.release()
+    out_path = str(tmp_path / "out.mp4")
+
+    rc = detect_video.main([
+        vid_path, "--restore_path", str(tmp_path / "ckpt" / "m"),
+        "--class_name_path", str(names), "--new_size", "96", "96",
+        "--score_thresh", "0.2", "--max_boxes", "5", "--mode", "packed",
+        "--pipeline_depth", "3", "--save_video", "true",
+        "--output", out_path,
+    ])
+    assert rc == 0
+    cap = cv2.VideoCapture(out_path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 6

@@ -18,7 +18,8 @@ from yolov3_tensorflow_tpu.cli.common import (load_anchors, load_classes,
                                               load_variables, str2bool)
 from yolov3_tensorflow_tpu.cli.detect_image import invert_boxes, preprocess
 from yolov3_tensorflow_tpu.ops.postprocess import (build_detector,
-                                                   detections_to_numpy)
+                                                   pack_detections,
+                                                   unpack_detections)
 from yolov3_tensorflow_tpu.utils.viz import get_color_table, plot_one_box
 
 
@@ -46,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["exact", "prefilter", "split", "packed"],
                    help="postprocess pipeline; packed is the fastest "
                         "serving path (streaming supports prefilter/packed)")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="frames in flight on the device; raise to hide "
+                        "host<->device round-trip latency (adds that many "
+                        "frames of display latency)")
     return p
 
 
@@ -71,6 +76,8 @@ def main(argv=None) -> int:
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
         writer = cv2.VideoWriter(args.output, fourcc, fps, (width, height))
 
+    import jax
+
     variables = load_variables(args.restore_path, num_classes)
     use_device_pre = args.device_preprocess and args.letterbox_resize
     if use_device_pre:
@@ -78,26 +85,32 @@ def main(argv=None) -> int:
             build_streaming_detector)
         stream_mode = args.mode if args.mode in ("prefilter", "packed") \
             else "prefilter"
-        detect_stream, invert_stream = build_streaming_detector(
+        detect_raw, invert_stream = build_streaming_detector(
             variables, anchors, num_classes, (height, width),
             (args.new_size[1], args.new_size[0]), max_out=args.max_boxes,
             score_thresh=args.score_thresh, iou_thresh=args.nms_thresh,
             bgr_input=True, mode=stream_mode)
+        # pack inside ONE program: a single fetched buffer per frame
+        detect_stream = jax.jit(lambda fr: pack_detections(detect_raw(fr)))
     else:
-        detect = build_detector(
+        detect_dict = build_detector(
             variables, anchors, num_classes,
             (args.new_size[1], args.new_size[0]),
             max_out=args.max_boxes, score_thresh=args.score_thresh,
             iou_thresh=args.nms_thresh, mode=args.mode)
+        detect = jax.jit(lambda im: pack_detections(detect_dict(im)))
 
-    pending = None  # (frame, inv, device detections) in flight
+    from collections import deque
+    pending = deque()  # (frame, inv, device detections) in flight
+    depth = max(1, args.pipeline_depth)
     frames = 0
     t_start = time.time()
+    t_warm = None  # set after frame 0 completes (excludes jit compile)
 
     def finish(item):
         frame, inv, dets = item
         t0 = time.time()
-        boxes, scores, labels = detections_to_numpy(dets, 0)  # device sync
+        boxes, scores, labels = unpack_detections(dets, 0)  # ONE device sync
         boxes = invert_stream(boxes) if inv is None else invert_boxes(boxes, inv)
         for box, score, label in zip(boxes, scores, labels):
             plot_one_box(frame, box,
@@ -122,17 +135,23 @@ def main(argv=None) -> int:
         else:
             inp, inv = preprocess(frame, args.new_size, args.letterbox_resize)
             dets = detect(inp)      # async dispatch; no host sync yet
-        if pending is not None:
-            finish(pending)         # overlap: consume previous frame
-        pending = (frame, inv, dets)
+        pending.append((frame, inv, dets))
         frames += 1
-    if pending is not None:
-        finish(pending)
+        if len(pending) >= depth + 1 or (t_warm is None and pending):
+            finish(pending.popleft())  # overlap: consume oldest in flight
+            if t_warm is None:
+                t_warm = time.time()  # first result done -> compile finished
+    while pending:
+        finish(pending.popleft())
 
     elapsed = time.time() - t_start
     if frames:
-        print(f"{frames} frames in {elapsed:.2f}s "
-              f"({frames / elapsed:.1f} FPS incl. decode+draw)")
+        msg = (f"{frames} frames in {elapsed:.2f}s "
+               f"({frames / elapsed:.1f} FPS incl. decode+draw+compile)")
+        if t_warm is not None and frames > 1:
+            steady = (frames - 1) / max(time.time() - t_warm, 1e-9)
+            msg += f"; steady-state {steady:.1f} FPS (first frame excluded)"
+        print(msg)
     vid.release()
     if writer is not None:
         writer.release()

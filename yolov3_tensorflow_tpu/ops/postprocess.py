@@ -150,3 +150,27 @@ def detections_to_numpy(dets: Dict[str, jax.Array], batch_index: int = 0
     scores = np.asarray(dets["scores"][batch_index])[valid]
     labels = np.asarray(dets["labels"][batch_index])[valid]
     return boxes, scores, labels
+
+
+def pack_detections(dets: Dict[str, jax.Array]) -> jax.Array:
+    """Flatten a detection dict into ONE fp32 buffer [B, M, 7] (rows:
+    x0 y0 x1 y1 score label valid) so latency-sensitive consumers fetch a
+    single device array per step — each per-array host fetch costs a full
+    RPC round trip on remote-attached devices, which dominated the video
+    demo's frame time (4 fetches/frame)."""
+    return jnp.concatenate([
+        dets["boxes"].astype(jnp.float32),
+        dets["scores"][..., None].astype(jnp.float32),
+        dets["labels"][..., None].astype(jnp.float32),
+        dets["valid"][..., None].astype(jnp.float32),
+    ], axis=-1)
+
+
+def unpack_detections(packed: np.ndarray, batch_index: int = 0
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side inverse of pack_detections -> (boxes, scores, labels),
+    padding stripped (the detections_to_numpy contract)."""
+    rows = np.asarray(packed[batch_index], np.float32)
+    valid = rows[:, 6] > 0.5
+    rows = rows[valid]
+    return rows[:, 0:4], rows[:, 4], rows[:, 5].astype(np.int64)
