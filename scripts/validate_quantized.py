@@ -119,7 +119,7 @@ def main(argv=None) -> int:
         rows = []
         for b in batches:
             dets = step(jnp.asarray(b.images))
-            dets_np = {k: np.asarray(v) for k, v in dets.items()}
+            dets_np = jax.device_get(dets)  # one host round trip
             rows.extend(detections_to_pred_rows(dets_np, b.image_ids))
         gt = parse_gt_records(args.data, size, True)
         return evaluate_map(gt, rows, num_classes, e.eval_threshold,
@@ -149,10 +149,8 @@ def main(argv=None) -> int:
         total = matched = 0
         score_dev = 0.0
         for b in batches:
-            de = {k: np.asarray(v)
-                  for k, v in exact_f(jnp.asarray(b.images)).items()}
-            da = {k: np.asarray(v)
-                  for k, v in cand_f(jnp.asarray(b.images)).items()}
+            de = jax.device_get(exact_f(jnp.asarray(b.images)))
+            da = jax.device_get(cand_f(jnp.asarray(b.images)))
             for i in range(b.images.shape[0]):
                 ve = de["valid"][i].astype(bool)
                 va = da["valid"][i].astype(bool)

@@ -144,11 +144,14 @@ def detections_to_numpy(dets: Dict[str, jax.Array], batch_index: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Strip padding: fixed-shape device output -> ragged host arrays
     (boxes [N,4], scores [N], labels [N]), score-descending within class
-    groups — the ragged contract of reference gpu_nms (nms_utils.py:44-48)."""
-    valid = np.asarray(dets["valid"][batch_index])
-    boxes = np.asarray(dets["boxes"][batch_index])[valid]
-    scores = np.asarray(dets["scores"][batch_index])[valid]
-    labels = np.asarray(dets["labels"][batch_index])[valid]
+    groups — the ragged contract of reference gpu_nms (nms_utils.py:44-48).
+    Fetches the whole dict in ONE host round trip (per-array fetches cost a
+    full RPC each on remotely-attached devices)."""
+    host = jax.device_get(dets)
+    valid = np.asarray(host["valid"][batch_index]).astype(bool)
+    boxes = np.asarray(host["boxes"][batch_index])[valid]
+    scores = np.asarray(host["scores"][batch_index])[valid]
+    labels = np.asarray(host["labels"][batch_index])[valid]
     return boxes, scores, labels
 
 

@@ -301,7 +301,7 @@ class Trainer:
                 _, dets = self._eval_step(
                     state, jnp.asarray(batch.images),
                     tuple(jnp.asarray(y) for y in batch.y_true))
-                dets_np = {k: np.asarray(v) for k, v in dets.items()}
+                dets_np = jax.device_get(dets)  # one host round trip
                 recall, precision = evaluate_batch(
                     dets_np, batch.y_true, cfg.model.num_classes,
                     cfg.eval.eval_threshold)
@@ -356,10 +356,13 @@ class Trainer:
             losses, dets = self._eval_step(
                 eval_state, jnp.asarray(batch.images),
                 tuple(jnp.asarray(y) for y in batch.y_true))
-            dets_np = {k: np.asarray(v) for k, v in dets.items()}
+            # one host round trip per batch (per-array fetches each cost a
+            # full RPC on remotely-attached devices)
+            losses_np, dets_np = jax.device_get((losses, dets))
             rows.extend(detections_to_pred_rows(dets_np, batch.image_ids))
             for k in val_meters:
-                val_meters[k].update(float(losses[k]), batch.images.shape[0])
+                val_meters[k].update(float(losses_np[k]),
+                                     batch.images.shape[0])
 
         if jax.process_count() > 1:
             from yolov3_tensorflow_tpu.parallel.multihost import (
