@@ -152,10 +152,12 @@ class EvalConfig:
     nms_topk: int = 150               # per-class cap, like gpu_nms max_boxes
     # Per-class candidate pool entering NMS (TPU needs a fixed shape; the
     # reference's gpu_nms suppresses over ALL boxes above score_threshold,
-    # nms_utils.py:30-39). With score_threshold=0.01 a crowded image can have
-    # >256 candidates in one class; raise this for strict mAP evaluation —
-    # the exact NMS path cost grows only linearly in it.
-    pre_nms_topk: int = 256
+    # nms_utils.py:30-39). Sized so that at score_threshold=0.01 even a
+    # crowded image keeps every above-threshold candidate per class
+    # (COCO-crowded images peak at a few hundred same-class candidates);
+    # the exact NMS path cost grows only linearly in it. Serving paths use
+    # their own (smaller) candidate budgets.
+    pre_nms_topk: int = 1024
     eval_threshold: float = 0.5
     use_voc_07_metric: bool = False
     batch_size: int = 8

@@ -270,16 +270,14 @@ def yolov3_forward_split(folded: dict, images: jax.Array, *,
 # select, no second gather), and the candidate-selection score is a plain
 # lane reduction.
 #
-# Selection heuristic caveat: the lane max runs over the WHOLE block, so it
-# can pick up the conf/box lanes when they exceed every class logit. The
-# selection score sigmoid(conf)*sigmoid(lane_max) therefore upper-bounds the
-# true best-class box score — candidate RANKING can differ from the split/
-# prefilter paths (which max over class logits only), but FINAL scores are
-# computed exactly from the gathered rows, so a wrongly-promoted candidate
-# only ever displaces one near the selection boundary. Selection was already
-# approximate here (approx_max_k, recall_target 0.95); validate detection
-# identity on a trained checkpoint like the other serving approximations
-# (scripts/validate_quantized.py).
+# Candidate selection masks the lane max to the class lanes (an iota compare
+# fused into the reduction), so the selection score is exactly
+# sigmoid(conf) * sigmoid(best_class_logit) — the same ranking as the split/
+# prefilter paths. (An earlier version maxed over the whole block, which let
+# large conf/box logits inflate a candidate's rank; fixed per round-2 advisor
+# finding.) Selection can still be approximate via approx_max_k
+# (recall_target 0.95); validate detection identity on a trained checkpoint
+# like the other serving approximations (scripts/validate_quantized.py).
 
 
 def pack_serving_head(folded: dict, num_classes: int,
@@ -362,8 +360,8 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
                        ) -> Dict[str, jax.Array]:
     """Batched detection from packed head outputs (`yolov3_forward_packed`).
 
-    Same output contract as postprocess_split; candidate selection uses the
-    whole-block lane max (see the packed-head note above), final scores are
+    Same output contract as postprocess_split; candidate selection uses a
+    class-lane-masked max (see the packed-head note above), final scores are
     exact. The fastest serving pipeline measured on v5e.
     """
     img_h, img_w = int(img_size[0]), int(img_size[1])
@@ -371,13 +369,19 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
     row = head_row_width(num_classes)
     c = num_classes
 
+    # class-lane mask: restrict the selection max to lanes [0, C) so conf/box
+    # logits can never inflate a candidate's selection score (round-2 advisor)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (row,), 0)
+    neg = jnp.asarray(-jnp.inf, packed_outs[0].dtype)
+
     ops, objs, offsets, counts = [], [], [], []
     off = 0
     for p in packed_outs:
         b, hg, wg, _ = p.shape
         na = hg * wg * 3
         pr = p.reshape(b, na, row)                    # free reshape
-        lane_max = jnp.max(pr, axis=-1).astype(jnp.float32)
+        lane_max = jnp.max(jnp.where(lane < c, pr, neg),
+                           axis=-1).astype(jnp.float32)
         conf = pr[..., c].astype(jnp.float32)
         objs.append(jax.nn.sigmoid(conf) * jax.nn.sigmoid(lane_max))
         ops.append(pr)
@@ -429,7 +433,10 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
         if k_box % 128:                 # pad to the NMS kernel's lane width
             pad = 128 - k_box % 128
             boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-            scores = jnp.pad(scores, ((0, 0), (0, pad), (0, 0)))
+            # sentinel below any threshold so degenerate pad boxes can never
+            # pass the validity test even at score_thresh <= 0
+            scores = jnp.pad(scores, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=-1.0)
         return batched_nms_shared_pallas(
             boxes, scores, max_out=max_out, score_thresh=score_thresh,
             iou_thresh=iou_thresh)
@@ -552,7 +559,10 @@ def postprocess_split(split_outs, anchors: np.ndarray, num_classes: int,
         if k_box % 128:                 # pad to the NMS kernel's lane width
             pad = 128 - k_box % 128
             boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-            scores = jnp.pad(scores, ((0, 0), (0, pad), (0, 0)))
+            # sentinel below any threshold so degenerate pad boxes can never
+            # pass the validity test even at score_thresh <= 0
+            scores = jnp.pad(scores, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=-1.0)
         return batched_nms_shared_pallas(
             boxes, scores, max_out=max_out, score_thresh=score_thresh,
             iou_thresh=iou_thresh)

@@ -177,9 +177,10 @@ def compute_loss(feature_maps: Sequence[jax.Array],
 
 def l2_regularization(params, weight_decay: float) -> jax.Array:
     """L2 penalty over conv kernels only (slim weights_regularizer parity,
-    model.py:49 + train.py:78): sum of wd * 0.5-free ||w||^2 ... TF's
-    l2_regularizer computes wd * sum(w^2) / 2? — TF slim l2_regularizer(scale)
-    returns scale * l2_loss(w) where l2_loss = sum(w**2)/2."""
+    reference model.py:49 + train.py:78): TF slim's l2_regularizer(scale)
+    returns scale * tf.nn.l2_loss(w) where l2_loss(w) = sum(w**2) / 2, so
+    this computes weight_decay * 0.5 * sum(||w||^2) over all conv kernels
+    (biases and BN params excluded, matching slim's weights-only default)."""
     total = jnp.float32(0)
     for scope in params.values():
         for p in scope.values():

@@ -234,8 +234,8 @@ def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
     """All-class keep masks over a shared candidate set.
 
     boxes: [B, K, 4]; scores: [B, K, C] -> keep [B, C, K] bool.
-    K must be a multiple of 128; classes are padded to a multiple of 8
-    internally.
+    K must be a multiple of 128; classes are padded to a multiple of
+    _CLASS_CHUNK (16) internally.
     """
     b, k, _ = boxes.shape
     c = scores.shape[2]

@@ -143,10 +143,14 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
 def detections_to_numpy(dets: Dict[str, jax.Array], batch_index: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Strip padding: fixed-shape device output -> ragged host arrays
-    (boxes [N,4], scores [N], labels [N]), score-descending within class
-    groups — the ragged contract of reference gpu_nms (nms_utils.py:44-48).
-    Fetches the whole dict in ONE host round trip (per-array fetches cost a
-    full RPC each on remotely-attached devices)."""
+    (boxes [N,4], scores [N], labels [N]) — the ragged contract of reference
+    gpu_nms (nms_utils.py:44-48). Row order depends on the producing path:
+    the exact path (ops.postprocess.postprocess) emits score-descending rows
+    within class groups; the split/packed serving paths (whose NMS kernel
+    takes the max_out >= K fast path) emit rows in candidate order — sort by
+    score on host if a top-N slice is needed. Fetches the whole dict in ONE
+    host round trip (per-array fetches cost a full RPC each on
+    remotely-attached devices)."""
     host = jax.device_get(dets)
     valid = np.asarray(host["valid"][batch_index]).astype(bool)
     boxes = np.asarray(host["boxes"][batch_index])[valid]

@@ -91,10 +91,13 @@ def build_streaming_detector(variables, anchors, num_classes: int,
         if mode == "packed":
             outs = yolov3_forward_packed(folded, images,
                                          compute_dtype=compute_dtype)
+            # approx_topk=False: both streaming modes use EXACT candidate
+            # top-k so switching mode never changes selection semantics
+            # (postprocess_packed alone defaults to approx_max_k)
             return postprocess_packed(
                 outs, anchors, num_classes, dst_hw, max_out=max_out,
                 box_topk=128, score_thresh=score_thresh,
-                iou_thresh=iou_thresh)
+                iou_thresh=iou_thresh, approx_topk=False)
         fmaps = yolov3_forward_folded(folded, images,
                                       compute_dtype=compute_dtype)
         return postprocess_prefilter(
