@@ -75,9 +75,8 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                   order) when max_out >= box_topk
       "packed"    fastest serving path: ONE detection conv per scale with
                   per-anchor 128-lane packed blocks; candidate selection
-                  scores by whole-block lane max (a slightly different —
-                  still exact-final-score — selection heuristic; see
-                  ops/fast_postprocess.py packed-head note)
+                  is a class-lane-masked max (same ranking as prefilter/
+                  split; see ops/fast_postprocess.py packed-head note)
     (A lane-aligned padding of the whole detection conv was also tried and
     measured perf-neutral — see the note in ops/fast_postprocess.py;
     the "split" head is the design that did pay off.)
