@@ -13,8 +13,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU's in-process collectives abort the whole process when a
+    # rendezvous takes >40 s; on a 1-core CI host the 8 virtual devices
+    # execute nearly serially, so a shard_map step with a slow per-device
+    # prologue (e.g. device-resident augmentation) can legitimately take
+    # longer than that to get all 8 participants to the first all-reduce.
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+             + " --xla_cpu_collective_timeout_seconds=900").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

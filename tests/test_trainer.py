@@ -154,3 +154,55 @@ def test_loss_decreases_over_real_steps(tmp_path):
     assert np.isfinite(totals).all()
     first, last = np.mean(totals[:3]), np.mean(totals[-3:])
     assert last < first / 2, f"loss did not learn: {first:.1f} -> {last:.1f}"
+
+
+def test_device_augment_training_learns(tmp_path):
+    """Device-resident augmentation end to end: the jitted train step takes
+    staged uint8 tiles + transform params, augments on-device, and the loss
+    decreases over real optimizer steps (twin of
+    test_loss_decreases_over_real_steps on the device-augment path)."""
+    from yolov3_tensorflow_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(str(tmp_path / "ds"), num_images=4, seed=1,
+                            img_size=(96, 96), max_shapes=1)
+    cfg = Config()
+    cfg.data.train_file = data["annotation_file"]
+    cfg.data.val_file = data["annotation_file"]
+    cfg.data.class_name_path = data["names_file"]
+    cfg.data.img_size = (96, 96)
+    cfg.data.multi_scale_train = False
+    cfg.data.use_mix_up = False
+    cfg.data.use_color_distort = False
+    cfg.data.device_augment = True
+    cfg.data.staged_size = 96
+    cfg.data.num_threads = 2
+    cfg.train.batch_size = 4
+    cfg.train.optimizer = "adam"
+    cfg.train.lr_type = "fixed"
+    cfg.train.learning_rate_init = 1e-3
+    cfg.train.use_warm_up = False
+    cfg.train.update_part = None
+    cfg.train.restore_exclude = None
+    cfg.train.progress_log_path = ""
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    cfg.finalize()
+
+    trainer = Trainer(cfg, seed=0)
+    state = trainer.init_state()
+    loader = DataLoader(cfg.data.train_file, 3, cfg.anchors, 4, (96, 96),
+                        mode="train", letterbox=True, use_mix_up=False,
+                        use_color_distort=False, num_threads=2, seed=0,
+                        device_augment=True, staged_size=96)
+    totals = []
+    for step in range(15):
+        batch = next(iter(loader.epoch(step)))
+        assert batch.images is None and batch.staged.dtype == np.uint8
+        batch_arg = (jnp.asarray(batch.staged), jnp.asarray(batch.staged2),
+                     {k: jnp.asarray(v) for k, v in batch.params.items()})
+        state, metrics = trainer._train_step(
+            state, batch_arg, tuple(jnp.asarray(y) for y in batch.y_true))
+        totals.append(float(metrics["total"]))
+    assert np.isfinite(totals).all()
+    first, last = np.mean(totals[:3]), np.mean(totals[-3:])
+    assert last < first / 2, f"loss did not learn: {first:.1f} -> {last:.1f}"

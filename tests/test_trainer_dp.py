@@ -57,3 +57,59 @@ def test_trainer_with_data_parallel(tmp_path):
     assert trainer._mesh is not None
     # the state must carry mesh shardings (replicated)
     assert len(w.sharding.device_set) == 8
+
+
+def test_dp_device_augment_step(tmp_path):
+    """Data-parallel + device-augment: the sharded train step accepts the
+    (staged, staged2, params) triple with every array batch-sharded over the
+    mesh and produces finite, decreasing loss."""
+    import jax.numpy as jnp
+
+    from yolov3_tensorflow_tpu.data.loader import DataLoader
+    from yolov3_tensorflow_tpu.data.synthetic import generate_dataset
+    from yolov3_tensorflow_tpu.train.trainer import Trainer
+
+    data = generate_dataset(str(tmp_path / "ds"), num_images=8, seed=3,
+                            img_size=(96, 96), max_shapes=1)
+    cfg = Config()
+    cfg.data.train_file = data["annotation_file"]
+    cfg.data.val_file = data["annotation_file"]
+    cfg.data.class_name_path = data["names_file"]
+    cfg.data.img_size = (96, 96)
+    cfg.data.multi_scale_train = False
+    cfg.data.use_mix_up = True
+    cfg.data.use_color_distort = True
+    cfg.data.device_augment = True
+    cfg.data.staged_size = 96
+    cfg.data.num_threads = 2
+    cfg.train.batch_size = 8
+    cfg.train.num_data_parallel = 8
+    cfg.train.optimizer = "adam"
+    cfg.train.lr_type = "fixed"
+    cfg.train.learning_rate_init = 1e-3
+    cfg.train.use_warm_up = False
+    cfg.train.update_part = None
+    cfg.train.restore_exclude = None
+    cfg.train.progress_log_path = ""
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    cfg.finalize()
+
+    trainer = Trainer(cfg, seed=0)
+    state = trainer.init_state()
+    loader = DataLoader(cfg.data.train_file, 3, cfg.anchors, 8, (96, 96),
+                        mode="train", letterbox=True, use_mix_up=True,
+                        use_color_distort=True, num_threads=2, seed=0,
+                        device_augment=True, staged_size=96)
+    totals = []
+    for step in range(3):
+        batch = next(iter(loader.epoch(step)))
+        batch_arg = (trainer._put_batch(batch.staged),
+                     trainer._put_batch(batch.staged2),
+                     {k: trainer._put_batch(v)
+                      for k, v in batch.params.items()})
+        state, metrics = trainer._train_step(
+            state, batch_arg,
+            tuple(trainer._put_batch(y) for y in batch.y_true))
+        totals.append(float(metrics["total"]))
+    assert np.isfinite(totals).all()

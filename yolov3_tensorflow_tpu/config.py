@@ -71,6 +71,11 @@ class DataConfig:
     use_color_distort: bool = True
     # fixed-shape padding of per-image ground truth (TPU needs static shapes)
     max_boxes_per_image: int = 64
+    # device-resident augmentation: host decodes + draws + encodes, the TPU
+    # does all pixel work inside the jitted train step (data/device_augment.py)
+    device_augment: bool = False
+    staged_size: int = 512           # static [S, S] uint8 staging tile side;
+                                     # size to the dataset's largest image
 
 
 @dataclass

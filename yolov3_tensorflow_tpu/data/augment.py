@@ -12,6 +12,7 @@ mixup weight) ride along untouched by geometric transforms.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import cv2
@@ -21,6 +22,23 @@ import numpy as np
 # ---------------------------------------------------------------------------
 # mixup
 # ---------------------------------------------------------------------------
+
+def sample_mixup_lam(rng: np.random.Generator) -> float:
+    """Blend factor ~ Beta(1.5, 1.5), clipped (reference data_aug.py:12-36)."""
+    return float(np.clip(rng.beta(1.5, 1.5), 0.0, 1.0))
+
+
+def mixup_boxes(boxes1: np.ndarray, boxes2: np.ndarray, lam: float
+                ) -> np.ndarray:
+    """Union the two box sets with the per-box mixup weight appended."""
+
+    def with_weight(b: np.ndarray, wt: float) -> np.ndarray:
+        col = np.full((b.shape[0], 1), wt, b.dtype)
+        return np.concatenate([b, col], axis=-1)
+
+    return np.concatenate(
+        [with_weight(boxes1, lam), with_weight(boxes2, 1 - lam)], axis=0)
+
 
 def mix_up(img1: np.ndarray, img2: np.ndarray, boxes1: np.ndarray,
            boxes2: np.ndarray, rng: np.random.Generator
@@ -32,19 +50,12 @@ def mix_up(img1: np.ndarray, img2: np.ndarray, boxes1: np.ndarray,
     """
     h = max(img1.shape[0], img2.shape[0])
     w = max(img1.shape[1], img2.shape[1])
-    lam = float(np.clip(rng.beta(1.5, 1.5), 0.0, 1.0))
+    lam = sample_mixup_lam(rng)
 
     canvas = np.zeros((h, w, 3), np.float32)
     canvas[:img1.shape[0], :img1.shape[1]] = img1.astype(np.float32) * lam
     canvas[:img2.shape[0], :img2.shape[1]] += img2.astype(np.float32) * (1 - lam)
-
-    def with_weight(b: np.ndarray, wt: float) -> np.ndarray:
-        col = np.full((b.shape[0], 1), wt, b.dtype)
-        return np.concatenate([b, col], axis=-1)
-
-    boxes = np.concatenate(
-        [with_weight(boxes1, lam), with_weight(boxes2, 1 - lam)], axis=0)
-    return canvas.astype(np.uint8), boxes
+    return canvas.astype(np.uint8), mixup_boxes(boxes1, boxes2, lam)
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +152,64 @@ def random_crop_with_constraints(
 # photometric
 # ---------------------------------------------------------------------------
 
+@dataclass
+class ColorDistortParams:
+    """Effective photometric jitter parameters (identity when delta=0,
+    hue_delta=0, sat_mult=1, val_mult=1). The three HSV jitters act on
+    disjoint channels, so storing them order-free is exact."""
+    delta: float = 0.0
+    hue_delta: float = 0.0
+    sat_mult: float = 1.0
+    val_mult: float = 1.0
+
+
+def sample_color_distort(rng: np.random.Generator,
+                         brightness_delta: int = 32, hue_vari: int = 18,
+                         sat_vari: float = 0.5, val_vari: float = 0.5
+                         ) -> ColorDistortParams:
+    """Draw the photometric jitter parameters.
+
+    Consumes the PRNG stream in exactly the order the fused
+    `random_color_distort` historically did (brightness gate, brightness
+    value, H/S/V-order pick, then per-jitter gate+value in application
+    order), so fixed keys produce identical transforms on the host and
+    device paths.
+    """
+    p = ColorDistortParams()
+    if rng.uniform() > 0.5:
+        p.delta = float(int(rng.uniform(-brightness_delta, brightness_delta)))
+    order = int(rng.integers(0, 2))
+    seq = ("val", "sat", "hue") if order else ("sat", "hue", "val")
+    for name in seq:
+        if name == "hue":
+            if rng.uniform() > 0.5:
+                p.hue_delta = float(rng.integers(-hue_vari, hue_vari))
+        elif name == "sat":
+            if rng.uniform() > 0.5:
+                p.sat_mult = 1.0 + float(rng.uniform(-sat_vari, sat_vari))
+        else:
+            if rng.uniform() > 0.5:
+                p.val_mult = 1.0 + float(rng.uniform(-val_vari, val_vari))
+    return p
+
+
+def apply_color_distort(img: np.ndarray, p: ColorDistortParams) -> np.ndarray:
+    """Apply sampled photometric jitter (host/cv2 path): brightness in BGR,
+    then H/S/V jitter through cv2's uint8 HSV space."""
+    if p.delta != 0.0:
+        img = np.clip(img.astype(np.float32) + p.delta, 0, 255)
+    img = img.astype(np.uint8)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
+    if p.hue_delta != 0.0:
+        hsv[:, :, 0] = (hsv[:, :, 0] + p.hue_delta) % 180
+    if p.sat_mult != 1.0:
+        hsv[:, :, 1] *= p.sat_mult
+    if p.val_mult != 1.0:
+        hsv[:, :, 2] *= p.val_mult
+    hsv = np.clip(hsv, 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+
+
 def random_color_distort(img: np.ndarray, rng: np.random.Generator,
                          brightness_delta: int = 32, hue_vari: int = 18,
                          sat_vari: float = 0.5, val_vari: float = 0.5
@@ -149,42 +218,29 @@ def random_color_distort(img: np.ndarray, rng: np.random.Generator,
 
     Reference data_aug.py:220-271 parity: brightness in BGR space first, then
     hue/saturation/value in HSV, with the H/S/V application order itself
-    randomized between two permutations.
+    randomized between two permutations (the order only affects PRNG
+    consumption — the jitters touch disjoint HSV channels).
     """
-    if rng.uniform() > 0.5:
-        delta = int(rng.uniform(-brightness_delta, brightness_delta))
-        img = np.clip(img.astype(np.float32) + delta, 0, 255)
-    img = img.astype(np.uint8)
-
-    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float32)
-
-    def jitter_hue(x):
-        if rng.uniform() > 0.5:
-            x[:, :, 0] = (x[:, :, 0] + rng.integers(-hue_vari, hue_vari)) % 180
-        return x
-
-    def jitter_sat(x):
-        if rng.uniform() > 0.5:
-            x[:, :, 1] *= 1 + rng.uniform(-sat_vari, sat_vari)
-        return x
-
-    def jitter_val(x):
-        if rng.uniform() > 0.5:
-            x[:, :, 2] *= 1 + rng.uniform(-val_vari, val_vari)
-        return x
-
-    if rng.integers(0, 2):
-        hsv = jitter_hue(jitter_sat(jitter_val(hsv)))
-    else:
-        hsv = jitter_val(jitter_hue(jitter_sat(hsv)))
-
-    hsv = np.clip(hsv, 0, 255)
-    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    return apply_color_distort(
+        img, sample_color_distort(rng, brightness_delta, hue_vari,
+                                  sat_vari, val_vari))
 
 
 # ---------------------------------------------------------------------------
 # resizing
 # ---------------------------------------------------------------------------
+
+def letterbox_params(ow: int, oh: int, new_width: int, new_height: int
+                     ) -> Tuple[float, int, int, int, int]:
+    """Letterbox geometry for an (ow, oh) image into (new_width, new_height):
+    returns (ratio, rw, rh, dw, dh) — the content rectangle is
+    [dw, dw+rw) x [dh, dh+rh)."""
+    ratio = min(new_width / ow, new_height / oh)
+    rw, rh = int(ratio * ow), int(ratio * oh)
+    dw = (new_width - rw) // 2
+    dh = (new_height - rh) // 2
+    return ratio, rw, rh, dw, dh
+
 
 def letterbox_resize(img: np.ndarray, new_width: int, new_height: int,
                      interp: int = 0
@@ -196,14 +252,26 @@ def letterbox_resize(img: np.ndarray, new_width: int, new_height: int,
     transform (test_single_image.py:65-70).
     """
     oh, ow = img.shape[:2]
-    ratio = min(new_width / ow, new_height / oh)
-    rw, rh = int(ratio * ow), int(ratio * oh)
+    ratio, rw, rh, dw, dh = letterbox_params(ow, oh, new_width, new_height)
     resized = cv2.resize(img, (rw, rh), interpolation=interp)
     canvas = np.full((new_height, new_width, 3), 128, np.uint8)
-    dw = (new_width - rw) // 2
-    dh = (new_height - rh) // 2
     canvas[dh:dh + rh, dw:dw + rw] = resized
     return canvas, ratio, dw, dh
+
+
+def remap_boxes_resize(boxes: np.ndarray, ow: int, oh: int, new_width: int,
+                       new_height: int, letterbox: bool) -> np.ndarray:
+    """Box-coordinate part of `resize_with_boxes` (shared with the
+    device-augmentation planner)."""
+    boxes = boxes.copy()
+    if letterbox:
+        ratio, _, _, dw, dh = letterbox_params(ow, oh, new_width, new_height)
+        boxes[:, [0, 2]] = boxes[:, [0, 2]] * ratio + dw
+        boxes[:, [1, 3]] = boxes[:, [1, 3]] * ratio + dh
+    else:
+        boxes[:, [0, 2]] *= new_width / ow
+        boxes[:, [1, 3]] *= new_height / oh
+    return boxes
 
 
 def resize_with_boxes(img: np.ndarray, boxes: np.ndarray, new_width: int,
@@ -211,37 +279,74 @@ def resize_with_boxes(img: np.ndarray, boxes: np.ndarray, new_width: int,
                       letterbox: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Resize image and remap boxes (reference data_aug.py:296-320)."""
-    boxes = boxes.copy()
-    if letterbox:
-        out, ratio, dw, dh = letterbox_resize(img, new_width, new_height, interp)
-        boxes[:, [0, 2]] = boxes[:, [0, 2]] * ratio + dw
-        boxes[:, [1, 3]] = boxes[:, [1, 3]] * ratio + dh
-        return out, boxes
     oh, ow = img.shape[:2]
-    out = cv2.resize(img, (new_width, new_height), interpolation=interp)
-    boxes[:, [0, 2]] *= new_width / ow
-    boxes[:, [1, 3]] *= new_height / oh
-    return out, boxes
+    new_boxes = remap_boxes_resize(boxes, ow, oh, new_width, new_height,
+                                   letterbox)
+    if letterbox:
+        out, _, _, _ = letterbox_resize(img, new_width, new_height, interp)
+    else:
+        out = cv2.resize(img, (new_width, new_height), interpolation=interp)
+    return out, new_boxes
 
 
 # ---------------------------------------------------------------------------
 # geometric
 # ---------------------------------------------------------------------------
 
+def sample_flip(rng: np.random.Generator, px: float = 0.0, py: float = 0.0
+                ) -> Tuple[bool, bool]:
+    """Draw the (horizontal, vertical) flip decisions — two uniforms, always,
+    matching the fused `random_flip` stream."""
+    fx = bool(rng.uniform() < px)
+    fy = bool(rng.uniform() < py)
+    return fx, fy
+
+
+def flip_boxes(boxes: np.ndarray, h: int, w: int, fx: bool, fy: bool
+               ) -> np.ndarray:
+    boxes = boxes.copy()
+    if fx:
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    if fy:
+        boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    return boxes
+
+
 def random_flip(img: np.ndarray, boxes: np.ndarray, rng: np.random.Generator,
                 px: float = 0.0, py: float = 0.0
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Horizontal/vertical flips with given probabilities
     (reference data_aug.py:323-346)."""
-    boxes = boxes.copy()
     h, w = img.shape[:2]
-    if rng.uniform() < px:
+    fx, fy = sample_flip(rng, px, py)
+    if fx:
         img = cv2.flip(img, 1)
-        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-    if rng.uniform() < py:
+    if fy:
         img = cv2.flip(img, 0)
-        boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
-    return img, boxes
+    return img, flip_boxes(boxes, h, w, fx, fy)
+
+
+def sample_expand(rng: np.random.Generator, h: int, w: int,
+                  max_ratio: float = 4.0, keep_ratio: bool = True
+                  ) -> Tuple[int, int, int, int]:
+    """Draw the expansion canvas size and placement: (oh, ow, oy, ox).
+    Stream-order matches the fused `random_expand` (rx, [ry], oy, ox)."""
+    rx = rng.uniform(1, max_ratio)
+    ry = rx if keep_ratio else rng.uniform(1, max_ratio)
+    oh, ow = int(h * ry), int(w * rx)
+    oy = int(rng.integers(0, max(oh - h, 1)))
+    ox = int(rng.integers(0, max(ow - w, 1)))
+    return oh, ow, oy, ox
+
+
+def apply_expand(img: np.ndarray, boxes: np.ndarray, oh: int, ow: int,
+                 oy: int, ox: int, fill: int = 0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    boxes = boxes.copy()
+    canvas = np.full((oh, ow, img.shape[2]), fill, img.dtype)
+    canvas[oy:oy + img.shape[0], ox:ox + img.shape[1]] = img
+    boxes[:, 0:4] += np.array([ox, oy, ox, oy], boxes.dtype)
+    return canvas, boxes
 
 
 def random_expand(img: np.ndarray, boxes: np.ndarray,
@@ -250,15 +355,6 @@ def random_expand(img: np.ndarray, boxes: np.ndarray,
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Place the image at a random offset on a larger canvas
     (reference data_aug.py:349-380)."""
-    boxes = boxes.copy()
-    h, w, c = img.shape
-    rx = rng.uniform(1, max_ratio)
-    ry = rx if keep_ratio else rng.uniform(1, max_ratio)
-    oh, ow = int(h * ry), int(w * rx)
-    oy = int(rng.integers(0, max(oh - h, 1)))
-    ox = int(rng.integers(0, max(ow - w, 1)))
-
-    canvas = np.full((oh, ow, c), fill, img.dtype)
-    canvas[oy:oy + h, ox:ox + w] = img
-    boxes[:, 0:4] += np.array([ox, oy, ox, oy], boxes.dtype)
-    return canvas, boxes
+    h, w = img.shape[:2]
+    oh, ow, oy, ox = sample_expand(rng, h, w, max_ratio, keep_ratio)
+    return apply_expand(img, boxes, oh, ow, oy, ox, fill)

@@ -49,8 +49,16 @@ def multi_scale_size(step: int, interval: int = 10, seed: int = 0,
 @dataclass
 class Batch:
     image_ids: np.ndarray   # [B] int64
-    images: np.ndarray      # [B, H, W, 3] float32 RGB in [0, 1]
+    images: np.ndarray      # [B, H, W, 3] float32 RGB in [0, 1]; in
+                            # device-augment mode: None (see staged/params)
     y_true: Tuple[np.ndarray, np.ndarray, np.ndarray]  # strides 32/16/8
+    # device-augment mode (data.device_augment): raw staged uint8 tiles +
+    # packed transform parameters; images are produced on-device by
+    # device_augment.augment_batch
+    staged: np.ndarray = None      # [B, S, S, 3] uint8 BGR
+    staged2: np.ndarray = None     # [B, S, S, 3] uint8 BGR (mixup partners)
+    params: dict = None            # device_augment.pack_plans arrays
+    img_size: Tuple[int, int] = None   # (w, h) target for this batch
 
 
 def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
@@ -106,6 +114,99 @@ def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
     return img_idx, img, y_true
 
 
+def plan_example(line: Union[str, Tuple[str, str]], num_classes: int,
+                 img_size: Tuple[int, int], anchors: np.ndarray,
+                 mode: str, letterbox: bool, rng: np.random.Generator,
+                 use_color_distort: bool = True, staged_size: int = 512):
+    """Device-augment twin of `parse_example`: decode + draw + box geometry
+    on the host, pixels deferred to the device (data/device_augment.py).
+
+    Consumes the PRNG stream in exactly `parse_example`'s order (shared
+    sampler functions), so a fixed (seed, epoch, step, slot) key produces
+    the same transform in both modes. Returns
+    (img_idx, ExamplePlan, y_true_list).
+    """
+    from yolov3_tensorflow_tpu.data.device_augment import (ExamplePlan,
+                                                           stage_image)
+
+    if isinstance(line, tuple):
+        a1, a2 = parse_line(line[0]), parse_line(line[1])
+        img1, img2 = cv2.imread(a1.path), cv2.imread(a2.path)
+        if img1 is None:
+            raise FileNotFoundError(f"cannot read image: {a1.path}")
+        if img2 is None:
+            raise FileNotFoundError(f"cannot read image: {a2.path}")
+        lam = augment.sample_mixup_lam(rng)
+        tile1, boxes1 = stage_image(img1, staged_size, a1.boxes)
+        tile2, boxes2 = stage_image(img2, staged_size, a2.boxes)
+        boxes = augment.mixup_boxes(boxes1, boxes2, lam)
+        labels = np.concatenate([a1.labels, a2.labels])
+        img_idx = a2.index
+        h1, w1 = tile_extent(img1.shape, staged_size)
+        h2, w2 = tile_extent(img2.shape, staged_size)
+        h, w = max(h1, h2), max(w1, w2)
+    else:
+        ann = parse_line(line)
+        img = cv2.imread(ann.path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image: {ann.path}")
+        bw = np.concatenate(
+            [ann.boxes, np.ones((ann.boxes.shape[0], 1), np.float32)], axis=-1)
+        tile1, boxes = stage_image(img, staged_size, bw)
+        tile2, lam = None, 1.0
+        labels = ann.labels
+        img_idx = ann.index
+        h, w = tile_extent(img.shape, staged_size)
+
+    color = (0.0, 0.0, 1.0, 1.0)
+    if mode == "train":
+        if use_color_distort:
+            cp = augment.sample_color_distort(rng)
+            color = (cp.delta, cp.hue_delta, cp.sat_mult, cp.val_mult)
+        if rng.uniform() > 0.5:
+            oh, ow, oy, ox = augment.sample_expand(rng, h, w, max_ratio=4)
+        else:
+            oh, ow, oy, ox = h, w, 0, 0
+        boxes = boxes.copy()
+        boxes[:, 0:4] += np.array([ox, oy, ox, oy], boxes.dtype)
+        boxes, (cx, cy, cw, ch) = augment.random_crop_with_constraints(
+            boxes, (ow, oh), rng)
+        interp = int(rng.integers(0, 5))
+        boxes = augment.remap_boxes_resize(boxes, cw, ch, img_size[0],
+                                           img_size[1], letterbox)
+        fx, _ = augment.sample_flip(rng, px=0.5)
+        boxes = augment.flip_boxes(boxes, img_size[1], img_size[0], fx, False)
+        crop = (cx - ox, cy - oy, cw, ch)
+    else:
+        boxes = augment.remap_boxes_resize(boxes, w, h, img_size[0],
+                                           img_size[1], letterbox)
+        crop = (0, 0, w, h)
+        interp, fx = 1, False
+
+    if letterbox:
+        _, rw, rh, dw, dh = augment.letterbox_params(
+            crop[2], crop[3], img_size[0], img_size[1])
+    else:
+        rw, rh, dw, dh = img_size[0], img_size[1], 0, 0
+
+    y_true = encode_labels(boxes, labels, img_size, num_classes, anchors)
+    plan = ExamplePlan(
+        staged=tile1, staged2=tile2, lam=lam, color=color,
+        crop_x0=int(crop[0]), crop_y0=int(crop[1]), crop_w=int(crop[2]),
+        crop_h=int(crop[3]), rw=rw, rh=rh, dw=dw, dh=dh, interp=interp,
+        flip=fx)
+    return img_idx, plan, y_true
+
+
+def tile_extent(shape, staged_size: int) -> Tuple[int, int]:
+    """Valid (h, w) of an image once staged into a staged_size tile."""
+    h, w = shape[:2]
+    if max(h, w) > staged_size:
+        r = staged_size / max(h, w)
+        return max(int(h * r), 1), max(int(w * r), 1)
+    return h, w
+
+
 class DataLoader:
     """Epoch iterator producing ready-to-device batches.
 
@@ -122,7 +223,8 @@ class DataLoader:
                  prefetch: int = 5, seed: int = 0,
                  drop_remainder: bool = False,
                  shard_within_batch: Tuple[int, int] = (0, 1),
-                 shard_batches: Tuple[int, int] = (0, 1)):
+                 shard_batches: Tuple[int, int] = (0, 1),
+                 device_augment: bool = False, staged_size: int = 512):
         """Multi-host sharding (SURVEY.md §2.3): `shard_within_batch=(i, P)`
         makes this process load only its 1/P slice of every global batch
         (training: every process sees the same step/plan/multi-scale schedule
@@ -146,6 +248,8 @@ class DataLoader:
         self.drop_remainder = drop_remainder
         self.shard_within_batch = tuple(shard_within_batch)
         self.shard_batches = tuple(shard_batches)
+        self.device_augment = device_augment
+        self.staged_size = int(staged_size)
         if self.shard_within_batch[1] > 1 \
                 and batch_size % self.shard_within_batch[1] != 0:
             raise ValueError(
@@ -211,16 +315,34 @@ class DataLoader:
         def work(slot_and_line):
             slot, line = slot_and_line
             rng = np.random.default_rng((self.seed, epoch, step, slot))
+            if self.device_augment:
+                return plan_example(line, self.num_classes, img_size,
+                                    self.anchors, self.mode, self.letterbox,
+                                    rng, self.use_color_distort,
+                                    self.staged_size)
             return parse_example(line, self.num_classes, img_size,
                                  self.anchors, self.mode, self.letterbox, rng,
                                  self.use_color_distort)
 
         results = list(pool.map(work, enumerate(batch_lines, start=slot0)))
         ids = np.asarray([r[0] for r in results], np.int64)
-        images = np.stack([r[1] for r in results])
         y_true = tuple(
             np.stack([r[2][s] for r in results]) for s in range(3))
-        return Batch(ids, images, y_true)  # type: ignore[arg-type]
+        if self.device_augment:
+            from yolov3_tensorflow_tpu.data.device_augment import pack_plans
+            plans = [r[1] for r in results]
+            staged = np.stack([p.staged for p in plans])
+            if any(p.staged2 is not None for p in plans):
+                zero = np.zeros_like(plans[0].staged)
+                staged2 = np.stack([p.staged2 if p.staged2 is not None
+                                    else zero for p in plans])
+            else:
+                staged2 = staged       # ignored when mixup is off
+            return Batch(ids, None, y_true, staged=staged, staged2=staged2,
+                         params=pack_plans(plans), img_size=img_size)
+        images = np.stack([r[1] for r in results])
+        return Batch(ids, images, y_true,  # type: ignore[arg-type]
+                     img_size=img_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Iterate one epoch with background prefetching."""

@@ -30,16 +30,22 @@ from yolov3_tensorflow_tpu.train.trainer import make_train_step
 
 def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                        mesh: Mesh, axis_name: str = "data",
-                       schedule: Callable = None) -> Callable:
+                       schedule: Callable = None,
+                       device_augment: bool = False) -> Callable:
     """Build the sharded train step.
 
     Call with (state, images, y_true) where `images`/`y_true` have a global
     batch divisible by the mesh size. `state` is fully replicated; the output
     state remains replicated because gradients are averaged before the
     (deterministic) optimizer update.
+
+    device_augment=True: `images` is the loader's (staged, staged2,
+    aug_params) triple instead; the augmentation prologue runs sharded over
+    the same data axis (every device augments only its batch rows).
     """
     step_fn = make_train_step(cfg, optimizer, axis_name=axis_name,
-                              schedule=schedule)
+                              schedule=schedule,
+                              device_augment=device_augment)
 
     def wrapped(state, images, y_true):
         new_state, metrics = step_fn(state, images, y_true)
@@ -47,9 +53,18 @@ def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             lambda m: jax.lax.pmean(m, axis_name), metrics)
         return new_state, metrics
 
+    if device_augment:
+        # (staged, staged2, {param arrays}) all batch-sharded; the param
+        # dict's spec must mirror its pytree structure
+        aug_spec = (P(axis_name), P(axis_name),
+                    {k: P(axis_name) for k in
+                     ("lam", "color", "crop", "rect", "interp", "flip")})
+        batch_spec = aug_spec
+    else:
+        batch_spec = P(axis_name)
     sharded = jax.shard_map(
         wrapped, mesh=mesh,
-        in_specs=(P(), P(axis_name), (P(axis_name),) * 3),
+        in_specs=(P(), batch_spec, (P(axis_name),) * 3),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -15,6 +15,7 @@ TPU answer to the reference's free-form dynamic shapes (SURVEY.md §5).
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -47,7 +48,8 @@ TrainState = Dict[str, Any]  # {"params", "batch_stats", "opt_state", "step"}
 
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                     axis_name: Optional[str] = None,
-                    schedule: Optional[Callable] = None) -> Callable:
+                    schedule: Optional[Callable] = None,
+                    device_augment: bool = False) -> Callable:
     """Build the pure train-step function (jit/shard_map-ready).
 
     state -> batch(images, y_true tuple) -> (new_state, metrics). When
@@ -55,6 +57,13 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     are averaged across the mesh axis. When `schedule` is given, the current
     learning rate is computed inside the jitted step and returned in
     `metrics["lr"]` so the host never replays the schedule.
+
+    device_augment=True changes the batch argument from float images to
+    `(staged, staged2, aug_params)` (loader device-augment mode): the full
+    augmentation chain runs on-device as a prologue fused into the same jit
+    (data/device_augment.py). The target resolution is recovered from the
+    y_true shapes, so multi-scale buckets compile per size exactly as in the
+    host-augment path.
     """
     anchors = np.asarray(cfg.anchors, np.float32)
     m = cfg.model
@@ -62,6 +71,15 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
 
     def train_step(state: TrainState, images: jax.Array,
                    y_true: Tuple[jax.Array, ...]):
+        if device_augment:
+            from yolov3_tensorflow_tpu.data.device_augment import \
+                augment_batch
+            staged, staged2, aug = images
+            out_h = y_true[2].shape[1] * 8
+            out_w = y_true[2].shape[2] * 8
+            images = augment_batch(staged, staged2, aug, (out_w, out_h),
+                                   mixup=cfg.data.use_mix_up,
+                                   distort=cfg.data.use_color_distort)
         img_size = (images.shape[1], images.shape[2])  # (h, w)
 
         def loss_fn(params):
@@ -183,18 +201,42 @@ class Trainer:
             from yolov3_tensorflow_tpu.parallel.mesh import (make_data_mesh,
                                                              replicate)
             self._mesh = make_data_mesh(ndp)
-            self._train_step = make_dp_train_step(self.cfg, self.optimizer,
-                                                  self._mesh,
-                                                  schedule=self.schedule)
+            self._train_step = make_dp_train_step(
+                self.cfg, self.optimizer, self._mesh, schedule=self.schedule,
+                device_augment=self.cfg.data.device_augment)
             state = replicate(self._mesh,
                               jax.tree_util.tree_map(jnp.asarray, state))
         else:
             self._mesh = None
             self._train_step = jax.jit(
                 make_train_step(self.cfg, self.optimizer,
-                                schedule=self.schedule), donate_argnums=(0,))
+                                schedule=self.schedule,
+                                device_augment=self.cfg.data.device_augment),
+                donate_argnums=(0,))
         self._eval_step = make_eval_step(self.cfg)
+        if self.cfg.data.device_augment:
+            from yolov3_tensorflow_tpu.data.device_augment import \
+                augment_batch
+
+            # standalone jitted augmentation for paths that need materialized
+            # images from a device-augment batch (in-train batch eval)
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def _augment(staged, staged2, params, out_size):
+                return augment_batch(
+                    staged, staged2, params, out_size,
+                    mixup=self.cfg.data.use_mix_up,
+                    distort=self.cfg.data.use_color_distort)
+
+            self._augment_fn = _augment
         return state
+
+    def _batch_images(self, batch) -> jax.Array:
+        """Materialized images for a loader batch in either mode (device
+        array in device-augment mode)."""
+        if batch.images is not None:
+            return jnp.asarray(batch.images)
+        return self._augment_fn(batch.staged, batch.staged2,
+                                batch.params, tuple(batch.img_size))
 
     def _put_batch(self, array) -> jax.Array:
         """Host batch -> device(s): sharded over the mesh data axis when
@@ -287,11 +329,20 @@ class Trainer:
                     "need modify some parameters.")
 
         for batch in loader.epoch(epoch):
+            if batch.images is None:   # device-augment mode
+                batch_arg = (
+                    self._put_batch(batch.staged),
+                    self._put_batch(batch.staged2),
+                    {k: self._put_batch(v) for k, v in batch.params.items()})
+                batch_n = batch.staged.shape[0]
+            else:
+                batch_arg = self._put_batch(batch.images)
+                batch_n = batch.images.shape[0]
             state, metrics = self._train_step(
-                state, self._put_batch(batch.images),
+                state, batch_arg,
                 tuple(self._put_batch(y) for y in batch.y_true))
             step += 1
-            pending.append((step, batch.images.shape[0], metrics))
+            pending.append((step, batch_n, metrics))
             eval_now = (cfg.train.train_evaluation_step and step > 0
                         and step % cfg.train.train_evaluation_step == 0
                         and jax.process_count() == 1)
@@ -299,7 +350,7 @@ class Trainer:
                 flush()
             if eval_now:
                 _, dets = self._eval_step(
-                    state, jnp.asarray(batch.images),
+                    state, self._batch_images(batch),
                     tuple(jnp.asarray(y) for y in batch.y_true))
                 dets_np = jax.device_get(dets)  # one host round trip
                 recall, precision = evaluate_batch(
@@ -439,7 +490,9 @@ class Trainer:
             use_color_distort=cfg.data.use_color_distort,
             num_threads=cfg.data.num_threads,
             prefetch=cfg.data.prefetch_buffer, seed=self.seed,
-            shard_within_batch=(pi, pc))
+            shard_within_batch=(pi, pc),
+            device_augment=cfg.data.device_augment,
+            staged_size=cfg.data.staged_size)
         val_loader = DataLoader(
             cfg.data.val_file, cfg.model.num_classes, cfg.anchors,
             cfg.eval.batch_size, cfg.data.img_size, mode="val",
