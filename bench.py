@@ -7,10 +7,18 @@ Prints ONE JSON line:
 Baseline: the reference implementation's published ~23 ms per 416x416 image
 (~43.5 img/s, Titan XP, batch 1, TF graph incl. GPU NMS — BASELINE.md). The
 measured pipeline is the same end-to-end surface: forward + anchor decode +
-score threshold + per-class NMS, batched. The headline number is the bf16
-path (bit-comparable accuracy); the int8 PTQ serving mode is also measured
-and reported on stderr (typical PTQ cost for CNN detectors is <1 mAP point,
-unvalidated here — no pretrained weights in this environment).
+score threshold + per-class NMS, batched.
+
+The headline number is the default serving configuration: the packed head
+with the HBM-bandwidth-bound early backbone (conv_0..conv_11) executed
+int8-chained and everything from the 52^2 stage on in bf16 (the "stem8"
+mode of ops/postprocess.build_detector). That early-stage int8 is a serving
+approximation with measured evidence behind it: on the trained overfit-gate
+checkpoint the hybrid's mAP delta vs the exact bf16 path is recorded by
+scripts/validate_quantized.py (docs/results/quantize_validation.json,
+detection-identity + max-score-deviation columns). The pure-bf16 packed
+path and the full-int8 PTQ mode are also measured and reported on stderr
+so the record always carries all three numbers.
 
 Timing methodology (important on this dev tunnel): iterations are CHAINED
 through a scalar data dependency and synced by fetching bytes to host;
@@ -121,6 +129,7 @@ def main(argv=None) -> None:
 
     best = 0.0
     best_batch = 0
+    best_mode = "bf16"
     if args.batches:
         batches = tuple(int(b) for b in args.batches.split(","))
     else:
@@ -141,14 +150,38 @@ def main(argv=None) -> None:
             best, best_batch = ips, batch
 
     if backend == "tpu":
-        # int8 PTQ serving mode (stderr diagnostic; see module docstring)
+        # stem-int8 hybrid: int8-chained conv_0..conv_11, bf16 rest (the
+        # serving default; headline when it wins — it harvests the measured
+        # 416^2/208^2/104^2 HBM-bandwidth headroom, see ops/quantize.py)
         from yolov3_tensorflow_tpu.ops.quantize import (
-            calibrate_activation_scales, quantize_model,
-            yolov3_forward_int8_packed)
+            build_stem_int8_packed, calibrate_activation_scales,
+            yolov3_forward_stem_int8_packed)
         batch = best_batch
         images = jax.device_put(jnp.asarray(
             rng.uniform(0, 1, (batch, img_h, img_w, 3)).astype(np.float32)))
         scales = calibrate_activation_scales(variables, images[:8])
+        hp = build_stem_int8_packed(variables, scales, num_classes, upto=12)
+
+        @jax.jit
+        def detect_stem8(images, feedback):
+            outs = yolov3_forward_stem_int8_packed(hp, images)
+            out = postprocess_packed(
+                outs, anchors, num_classes, (img_h, img_w), max_out=128,
+                box_topk=64, score_thresh=0.3 + feedback * 0.0,
+                iou_thresh=0.45, approx_topk=True, use_pallas=use_pallas)
+            return out, out["scores"][0, 0]
+
+        dth = _measure_chained(detect_stem8, images)
+        ips = batch / dth
+        _log(f"stem-int8 hybrid (upto=12) batch {batch}: {ips:.1f} img/s "
+             f"({dth * 1e3:.2f} ms/batch)")
+        if ips > best:
+            best, best_mode = ips, "stem_int8_hybrid"
+
+    if backend == "tpu":
+        # int8 PTQ serving mode (stderr diagnostic; see module docstring)
+        from yolov3_tensorflow_tpu.ops.quantize import (
+            quantize_model, yolov3_forward_int8_packed)
         qpacked = pack_serving_head(quantize_model(variables, scales),
                                     num_classes)
 
@@ -188,6 +221,7 @@ def main(argv=None) -> None:
         "value": round(best, 1),
         "unit": "img/s",
         "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
+        "mode": best_mode,
     }))
 
 

@@ -199,6 +199,46 @@ def main(argv=None) -> int:
 
     p_total, p_matched, p_score_dev = identity_vs_exact(exact_f, packed_f)
 
+    # ---- stem-int8 hybrid (bf16 with int8-chained conv_0..conv_8 — the
+    # round-3 bench headline path) vs exact: mAP + detection identity ----
+    from yolov3_tensorflow_tpu.ops.quantize import (
+        build_stem_int8_packed, yolov3_forward_stem_int8_packed)
+    hp = build_stem_int8_packed(variables, scales, num_classes, upto=9)
+
+    @jax.jit
+    def stem8_f(images):
+        outs = yolov3_forward_stem_int8_packed(hp, images)
+        return postprocess_packed(
+            outs, anchors, num_classes, size, max_out=128, box_topk=64,
+            score_thresh=0.3, iou_thresh=0.45, approx_topk=use_pallas,
+            use_pallas=use_pallas)
+
+    s_total, s_matched, s_score_dev = identity_vs_exact(exact_f, stem8_f)
+
+    @jax.jit
+    def eval_stem8(images):
+        fmaps = yolov3_forward_stem_int8_packed(hp, images)
+        from yolov3_tensorflow_tpu.ops.fast_postprocess import head_row_width
+        row = head_row_width(num_classes)
+        need = 5 + num_classes
+        # packed logits -> raw feature-map layout for the exact eval path
+        raws = []
+        for f in fmaps:
+            n, hg, wg, _ = f.shape
+            fr = f.reshape(n, hg, wg, 3, row).astype(jnp.float32)
+            cls = fr[..., :num_classes]
+            conf = fr[..., num_classes:num_classes + 1]
+            box = fr[..., num_classes + 1:num_classes + 5]
+            raws.append(jnp.concatenate([box, conf, cls], axis=-1)
+                        .reshape(n, hg, wg, 3 * need))
+        boxes, confs, probs = predict_boxes(raws, anchors, num_classes, size)
+        return batched_nms_auto(boxes, confs * probs, max_out=e.nms_topk,
+                                pre_topk=e.pre_nms_topk,
+                                score_thresh=e.score_threshold,
+                                iou_thresh=e.nms_threshold)
+
+    map_stem8 = run_map(eval_stem8)
+
     summary = {
         "checkpoint": args.ckpt,
         "dataset": args.data,
@@ -213,6 +253,12 @@ def main(argv=None) -> int:
         "packed_serving_identity": round(p_matched / max(p_total, 1), 4),
         "packed_serving_exact_dets": p_total,
         "packed_serving_max_score_dev": round(p_score_dev, 5),
+        "mAP_stem_int8": round(float(map_stem8["mAP"]), 4),
+        "stem_int8_map_delta": round(
+            float(map_bf16["mAP"] - map_stem8["mAP"]), 4),
+        "stem_int8_identity": round(s_matched / max(s_total, 1), 4),
+        "stem_int8_exact_dets": s_total,
+        "stem_int8_max_score_dev": round(s_score_dev, 5),
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "quantize_validation.json"), "w") as f:

@@ -54,7 +54,9 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                    use_pallas: Optional[bool] = None,
                    fast: bool = True, box_topk: int = 256,
                    mode: Optional[str] = None,
-                   approx_topk: bool = False) -> Callable:
+                   approx_topk: bool = False,
+                   calibration_images=None,
+                   stem_int8_upto: int = 12) -> Callable:
     """Build a jitted end-to-end detector: images [B,H,W,3] -> detections.
 
     Folds BN into the conv weights once (inference fast path), then jits
@@ -77,6 +79,13 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                   per-anchor 128-lane packed blocks; candidate selection
                   is a class-lane-masked max (same ranking as prefilter/
                   split; see ops/fast_postprocess.py packed-head note)
+      "stem8"     "packed" with the HBM-bandwidth-bound early backbone
+                  (conv_0..conv_{stem_int8_upto-1}) executed int8-chained —
+                  the round-3 throughput default (ops/quantize.py hybrid
+                  note). Requires `calibration_images` (a few representative
+                  input images) for the activation scales; detection
+                  identity vs the exact path is validated on the trained
+                  gate checkpoint by scripts/validate_quantized.py.
     (A lane-aligned padding of the whole detection conv was also tried and
     measured perf-neutral — see the note in ops/fast_postprocess.py;
     the "split" head is the design that did pay off.)
@@ -118,6 +127,29 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
                 use_pallas=use_pallas)
 
         return detect_packed
+
+    if mode == "stem8":
+        from yolov3_tensorflow_tpu.ops.fast_postprocess import \
+            postprocess_packed
+        from yolov3_tensorflow_tpu.ops.quantize import (
+            build_stem_int8_packed, calibrate_activation_scales,
+            yolov3_forward_stem_int8_packed)
+        if calibration_images is None:
+            raise ValueError("mode='stem8' needs calibration_images")
+        scales = calibrate_activation_scales(variables, calibration_images)
+        hp = build_stem_int8_packed(variables, scales, num_classes,
+                                    upto=stem_int8_upto)
+
+        @jax.jit
+        def detect_stem8(images: jax.Array) -> Dict[str, jax.Array]:
+            outs = yolov3_forward_stem_int8_packed(hp, images)
+            return postprocess_packed(
+                outs, anchors, num_classes, img_size, max_out=max_out,
+                box_topk=box_topk, score_thresh=score_thresh,
+                iou_thresh=iou_thresh, approx_topk=approx_topk,
+                use_pallas=use_pallas)
+
+        return detect_stem8
 
     @jax.jit
     def detect(images: jax.Array) -> Dict[str, jax.Array]:

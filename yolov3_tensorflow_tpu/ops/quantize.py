@@ -50,32 +50,40 @@ def calibrate_activation_scales(variables: Params, images: jax.Array,
     """Record per-conv-input abs-max over a calibration batch.
 
     Returns {scope: {conv_name: scalar fp32 abs-max}}. Run with a few
-    hundred representative images for production use.
+    hundred representative images for production use. The observation
+    forward runs as ONE jitted program (op-by-op dispatch costs a compile +
+    RPC per conv on remotely-attached devices).
     """
     folded = fold_batch_norm(variables, dtype=compute_dtype)
-    maxes: Params = {"backbone": {}, "head": {}}
 
-    def observe(scope, name, x):
-        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        prev = maxes[scope].get(name)
-        maxes[scope][name] = m if prev is None else jnp.maximum(prev, m)
+    @jax.jit
+    def observe_all(images):
+        maxes: Params = {"backbone": {}, "head": {}}
 
-    def bn_conv(scope, name, x, stride=1):
-        observe(scope, name, x)
-        return L.conv_folded(x, folded[scope][name], stride=stride,
-                             compute_dtype=compute_dtype)
+        def observe(scope, name, x):
+            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            prev = maxes[scope].get(name)
+            maxes[scope][name] = m if prev is None else jnp.maximum(prev, m)
 
-    def out_conv(i, x):
-        name = f"conv_{i}"
-        observe("head", name, x)
-        return L.conv_bias(x, folded["head"][name],
-                           compute_dtype=compute_dtype)
+        def bn_conv(scope, name, x, stride=1):
+            observe(scope, name, x)
+            return L.conv_folded(x, folded[scope][name], stride=stride,
+                                 compute_dtype=compute_dtype)
 
-    x = images.astype(compute_dtype)
-    routes = _backbone_forward(
-        lambda i, x, s: bn_conv("backbone", f"conv_{i}", x, s), x)
-    _head_forward(lambda i, x: bn_conv("head", f"conv_{i}", x),
-                  out_conv, routes)
+        def out_conv(i, x):
+            name = f"conv_{i}"
+            observe("head", name, x)
+            return L.conv_bias(x, folded["head"][name],
+                               compute_dtype=compute_dtype)
+
+        x = images.astype(compute_dtype)
+        routes = _backbone_forward(
+            lambda i, x, s: bn_conv("backbone", f"conv_{i}", x, s), x)
+        _head_forward(lambda i, x: bn_conv("head", f"conv_{i}", x),
+                      out_conv, routes)
+        return maxes
+
+    maxes = jax.device_get(observe_all(images))   # one round trip
     return jax.tree_util.tree_map(float, maxes)
 
 
@@ -391,6 +399,109 @@ def _concat_split_conv(qp: Params, a8: jax.Array, sa: float,
 
     y = (part(a8, wa) * sa + part(b8, wb) * sb) * qp["w_scale"] + qp["b"]
     return _requant(L.leaky_relu(y), s_out)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid stem-int8 forward: int8-chained early backbone, bf16 rest
+# ---------------------------------------------------------------------------
+#
+# Round-2 profiling localized the bf16 serving forward's gap to roofline in
+# the EARLY backbone: the 416^2/208^2/104^2 region is HBM-bandwidth-bound
+# (conv_0 alone writes a 1.42 GB bf16 intermediate at batch 128; measured
+# 6.0 ms vs a 1.2 ms FLOP roofline), while the 52^2-and-deeper layers run at
+# 72-98% of the conv roofline on the MXU. A pure-bf16 Pallas fusion of the
+# stem was analyzed and rejected (conv_0's K=27 contraction runs at ~5% MXU
+# utilization in any im2col form — docs/BENCHMARKS.md). The TPU-native fix is
+# precision, not fusion: execute conv_0..conv_{upto-1} int8-chained (int8
+# activations in HBM halve the stem's bytes; int8 x int8 convs run at 2x MXU
+# rate) and hand bf16 to the MXU-bound remainder. Box/class logits, decode
+# and NMS are bit-identical to the bf16 path; the only approximation is one
+# int8 rounding per early activation edge, bounded by the same calibration
+# machinery as the full-int8 mode (detection identity on the trained gate
+# checkpoint is validated by scripts/validate_quantized.py --stem8).
+
+
+def stem_int8_safe_boundaries() -> Tuple[int, ...]:
+    """Backbone conv indices at which the int8 region may hand off to bf16:
+    a handoff is safe when the preceding conv is not inside an open residual
+    block (the shortcut and its closing conv must share a domain)."""
+    safe = []
+    idx = 0
+    depth = 0
+    for op in BACKBONE_PLAN:
+        if op[0] == "conv":
+            if depth == 0:
+                safe.append(idx)
+            idx += 1
+        elif op[0] == "res_begin":
+            depth += 1
+        elif op[0] == "res_end":
+            depth -= 1
+            safe.append(idx)
+    return tuple(sorted(set(safe + [idx])))
+
+
+def build_stem_int8_packed(variables: Params, act_scales: Params,
+                           num_classes: int, *, upto: int = 9) -> Params:
+    """Parameter tree for `yolov3_forward_stem_int8_packed`.
+
+    upto=9 covers the 416^2/208^2/104^2 region (conv_0..conv_8), ending at
+    the stride-2 transition into the 52^2 stage — every deeper layer is
+    MXU-bound and stays bf16.
+    """
+    if upto not in stem_int8_safe_boundaries():
+        raise ValueError(
+            f"upto={upto} splits a residual block; safe boundaries: "
+            f"{stem_int8_safe_boundaries()}")
+    qc = quantize_model_chained(variables, act_scales)
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import pack_serving_head
+    packed = pack_serving_head(fold_batch_norm(variables, dtype=jnp.bfloat16),
+                               num_classes)
+    stem = {f"conv_{i}": qc["backbone"][f"conv_{i}"] for i in range(upto)}
+    return {"stem": stem, "act": qc["act"], "packed": packed,
+            "upto": int(upto)}
+
+
+def yolov3_forward_stem_int8_packed(hp: Params, images: jax.Array):
+    """Packed serving forward, int8-chained conv_0..conv_{upto-1}, bf16 rest.
+
+    hp = build_stem_int8_packed(...). Returns the yolov3_forward_packed
+    contract (3 packed logit maps, strides 32/16/8).
+    """
+    from yolov3_tensorflow_tpu.models.layers import conv_folded
+    from yolov3_tensorflow_tpu.models.yolov3 import _head_forward
+    from yolov3_tensorflow_tpu.ops.fast_postprocess import (
+        apply_packed_output_conv)
+
+    act, packed, upto = hp["act"], hp["packed"], hp["upto"]
+
+    def s_in_b(idx):
+        return _scale_of(act, "backbone", f"conv_{idx}")
+
+    def backbone_conv(idx, x, stride, shortcut=None):
+        if idx < upto:
+            # emit int8 at the next conv's calibrated input scale; the
+            # handoff conv emits bf16 for the folded region
+            s_out = s_in_b(idx + 1) if idx + 1 < upto else None
+            return _conv_int8_chained(
+                x, s_in_b(idx), hp["stem"][f"conv_{idx}"], stride,
+                shortcut=None if shortcut is None
+                else (shortcut, s_in_b(idx - 1)),
+                s_out=s_out)
+        y = conv_folded(x, packed["backbone"][f"conv_{idx}"], stride=stride)
+        if shortcut is not None:
+            y = y + shortcut
+        return y
+
+    if upto > 0:
+        x0 = _requant(images.astype(jnp.float32), s_in_b(0))
+    else:
+        x0 = images.astype(jnp.bfloat16)
+    routes = _backbone_forward(backbone_conv, x0, fused_residual=True)
+    return list(_head_forward(
+        lambda i, x: conv_folded(x, packed["head"][f"conv_{i}"]),
+        lambda i, x: apply_packed_output_conv(packed["head"][f"conv_{i}"], x),
+        routes))
 
 
 def build_detector_int8(variables: Params, anchors, num_classes: int,
