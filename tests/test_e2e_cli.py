@@ -64,10 +64,13 @@ def test_detector_golden_regression():
         [0.27150685, 0.27330402, 0.27973434, 0.28179774], atol=2e-4)
 
 
-def test_detect_video_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("frame_batch", [1, 4])
+def test_detect_video_cli_end_to_end(tmp_path, frame_batch):
     """Video demo surface: mp4 -> streaming (device-preprocess) pipeline
     with the packed serving mode -> annotated mp4 out; exercises the
-    in-flight frame queue and the single-buffer detection fetch."""
+    in-flight frame queue and the single-buffer detection fetch.
+    frame_batch=4 over 6 frames also exercises the batched-RPC path with a
+    short (padded) final batch."""
     from yolov3_tensorflow_tpu.cli import detect_video
 
     names = tmp_path / "names.txt"
@@ -90,8 +93,8 @@ def test_detect_video_cli_end_to_end(tmp_path):
         vid_path, "--restore_path", str(tmp_path / "ckpt" / "m"),
         "--class_name_path", str(names), "--new_size", "96", "96",
         "--score_thresh", "0.2", "--max_boxes", "5", "--mode", "packed",
-        "--pipeline_depth", "3", "--save_video", "true",
-        "--output", out_path,
+        "--pipeline_depth", "3", "--frame_batch", str(frame_batch),
+        "--save_video", "true", "--output", out_path,
     ])
     assert rc == 0
     cap = cv2.VideoCapture(out_path)

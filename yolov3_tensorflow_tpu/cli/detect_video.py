@@ -1,9 +1,14 @@
 """Streaming video detection demo (reference video_test.py parity).
 
-TPU-aware twist: frames are processed with a one-frame software pipeline —
-the next frame is preprocessed and dispatched while the previous result is
-still materializing on device (JAX async dispatch), overlapping host decode
-with device compute (SURVEY.md §7 hard part 6).
+TPU-aware twists (SURVEY.md §7 hard part 6):
+- software pipelining: the next dispatch goes out while previous results are
+  still materializing on device (JAX async dispatch), overlapping host
+  decode/draw with device compute (--pipeline_depth);
+- frame batching (--frame_batch): on remote-attached devices every
+  dispatch+fetch pays a fixed RPC round trip that dwarfs the 416^2 model
+  itself, so file-input frames are detected N per device call and fetched as
+  one packed buffer — the round trip amortizes N-fold at N-1 frames of
+  latency (keep 1 for live input).
 """
 
 from __future__ import annotations
@@ -48,9 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="postprocess pipeline; packed is the fastest "
                         "serving path (streaming supports prefilter/packed)")
     p.add_argument("--pipeline_depth", type=int, default=2,
-                   help="frames in flight on the device; raise to hide "
-                        "host<->device round-trip latency (adds that many "
-                        "frames of display latency)")
+                   help="dispatches in flight on the device; raise to hide "
+                        "host<->device round-trip latency (adds that much "
+                        "display latency)")
+    p.add_argument("--frame_batch", type=int, default=1,
+                   help="frames per device call. On remote-attached devices "
+                        "every dispatch+fetch pays a fixed RPC round trip "
+                        "(~26 ms on the dev tunnel) that dwarfs the model "
+                        "itself; batching N file-input frames amortizes it "
+                        "N-fold. Adds N-1 frames of latency — keep 1 for "
+                        "live/interactive input")
     return p
 
 
@@ -101,46 +113,69 @@ def main(argv=None) -> int:
         detect = jax.jit(lambda im: pack_detections(detect_dict(im)))
 
     from collections import deque
-    pending = deque()  # (frame, inv, device detections) in flight
+    pending = deque()  # (frames, invs, device detections) per dispatch
     depth = max(1, args.pipeline_depth)
+    fb = max(1, args.frame_batch)
     frames = 0
     t_start = time.time()
-    t_warm = None  # set after frame 0 completes (excludes jit compile)
+    t_warm = None  # set after batch 0 completes (excludes jit compile)
 
     def finish(item):
-        frame, inv, dets = item
+        batch_frames, invs, dets = item
         t0 = time.time()
-        boxes, scores, labels = unpack_detections(dets, 0)  # ONE device sync
-        boxes = invert_stream(boxes) if inv is None else invert_boxes(boxes, inv)
-        for box, score, label in zip(boxes, scores, labels):
-            plot_one_box(frame, box,
-                         label=f"{classes[int(label)]}, {score * 100:.2f}%",
-                         color=color_table[int(label)])
-        ms = (time.time() - t0) * 1000
-        cv2.putText(frame, f"{ms:.2f} ms", (40, 40), 0, fontScale=1,
-                    color=(0, 255, 0), thickness=2)
-        if writer is not None:
-            writer.write(frame)
-        if args.show:
-            cv2.imshow("image", frame)
-            cv2.waitKey(1)
+        dets = np.asarray(dets)                      # ONE device sync
+        for i, (frame, inv) in enumerate(zip(batch_frames, invs)):
+            boxes, scores, labels = unpack_detections(dets, i)
+            boxes = (invert_stream(boxes) if inv is None
+                     else invert_boxes(boxes, inv))
+            for box, score, label in zip(boxes, scores, labels):
+                plot_one_box(frame, box,
+                             label=f"{classes[int(label)]}, "
+                                   f"{score * 100:.2f}%",
+                             color=color_table[int(label)])
+            ms = (time.time() - t0) * 1000 / len(batch_frames)
+            cv2.putText(frame, f"{ms:.2f} ms", (40, 40), 0, fontScale=1,
+                        color=(0, 255, 0), thickness=2)
+            if writer is not None:
+                writer.write(frame)
+            if args.show:
+                cv2.imshow("image", frame)
+                cv2.waitKey(1)
 
+    def dispatch(batch_frames):
+        """One device call over len(batch_frames) frames. The LAST batch of
+        the video may be short: pad it by repeating the final frame (jit
+        sees one static batch shape = one compile) and drop the pad rows."""
+        n = len(batch_frames)
+        padded = batch_frames + [batch_frames[-1]] * (fb - n)
+        if use_device_pre:
+            invs = [None] * n
+            dets = detect_stream(np.stack(padded))   # raw uint8 BGR
+        else:
+            pre = [preprocess(f, args.new_size, args.letterbox_resize)
+                   for f in padded]
+            invs = [inv for _, inv in pre[:n]]
+            dets = detect(np.concatenate([inp for inp, _ in pre]))
+        pending.append((batch_frames, invs, dets))
+
+    batch_buf = []
     while True:
         ok, frame = vid.read()
         if not ok or (args.max_frames and frames >= args.max_frames):
             break
-        if use_device_pre:
-            inv = None
-            dets = detect_stream(np.asarray(frame[None]))  # raw uint8 BGR
-        else:
-            inp, inv = preprocess(frame, args.new_size, args.letterbox_resize)
-            dets = detect(inp)      # async dispatch; no host sync yet
-        pending.append((frame, inv, dets))
+        batch_buf.append(frame)
         frames += 1
+        if len(batch_buf) < fb:
+            continue
+        dispatch(batch_buf)
+        batch_buf = []
         if len(pending) >= depth + 1 or (t_warm is None and pending):
             finish(pending.popleft())  # overlap: consume oldest in flight
             if t_warm is None:
                 t_warm = time.time()  # first result done -> compile finished
+                frames_at_warm = frames
+    if batch_buf:
+        dispatch(batch_buf)
     while pending:
         finish(pending.popleft())
 
@@ -148,9 +183,11 @@ def main(argv=None) -> int:
     if frames:
         msg = (f"{frames} frames in {elapsed:.2f}s "
                f"({frames / elapsed:.1f} FPS incl. decode+draw+compile)")
-        if t_warm is not None and frames > 1:
-            steady = (frames - 1) / max(time.time() - t_warm, 1e-9)
-            msg += f"; steady-state {steady:.1f} FPS (first frame excluded)"
+        if t_warm is not None and frames > frames_at_warm:
+            steady = (frames - frames_at_warm) / max(
+                time.time() - t_warm, 1e-9)
+            msg += (f"; steady-state {steady:.1f} FPS "
+                    f"(first batch excluded)")
         print(msg)
     vid.release()
     if writer is not None:
