@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_every", type=int, default=0,
                    help="validate every N epochs during training (0 = only "
                         "the final gate evaluation)")
+    p.add_argument("--recipe", choices=["adam", "reference"], default="adam",
+                   help="'adam': the recorded round-2 gate setup (adam + "
+                        "cosine, strategies off). 'reference': the "
+                        "reference's ACTUAL shipped defaults — momentum 0.9 "
+                        "+ piecewise LR + 3-epoch warmup, with mixup, label "
+                        "smoothing, focal conf loss and multi-scale training "
+                        "all ON (/root/reference/args.py:36-45,63-68) — "
+                        "falsifies interaction bugs (mixup-weight x loss, "
+                        "bucket-switch x BN) that per-term oracles cannot")
+    p.add_argument("--device_augment",
+                   type=lambda v: v.lower() in ("1", "true"), default=False,
+                   help="run the loader in device-augment mode (pixels on "
+                        "the TPU, data/device_augment.py)")
     return p
 
 
@@ -81,18 +94,38 @@ def main(argv=None) -> int:
     cfg.data.class_name_path = data["names_file"]
     cfg.data.img_size = (size, size)
     cfg.data.letterbox_resize = True
-    cfg.data.multi_scale_train = False
-    cfg.data.use_mix_up = False
-    cfg.model.use_label_smooth = False
-    cfg.model.use_focal_loss = args.focal
+    cfg.data.device_augment = args.device_augment
+    cfg.data.staged_size = size
     cfg.train.batch_size = args.batch_size
     cfg.train.total_epochs = epochs
-    cfg.train.optimizer = "adam"
-    cfg.train.lr_type = "cosine_decay"
-    cfg.train.learning_rate_init = args.lr
-    cfg.train.lr_lower_bound = args.lr / 50
-    cfg.train.use_warm_up = True
-    cfg.train.warm_up_epoch = 2
+    if args.recipe == "reference":
+        # the reference's shipped strategy (args.py:36-45,63-68), with the
+        # piecewise boundaries scaled from its 100-epoch schedule ([30, 50]
+        # -> 30%/50% of the run) and its 3-epoch warmup
+        cfg.data.multi_scale_train = True
+        cfg.data.use_mix_up = True
+        cfg.model.use_label_smooth = True
+        cfg.model.use_focal_loss = True
+        cfg.train.optimizer = "momentum"
+        cfg.train.momentum = 0.9
+        cfg.train.lr_type = "piecewise"
+        cfg.train.learning_rate_init = args.lr
+        cfg.train.pw_boundaries = [max(1, int(epochs * 0.3)),
+                                   max(2, int(epochs * 0.5))]
+        cfg.train.pw_values = [args.lr, args.lr * 0.3, args.lr * 0.1]
+        cfg.train.use_warm_up = True
+        cfg.train.warm_up_epoch = 3
+    else:
+        cfg.data.multi_scale_train = False
+        cfg.data.use_mix_up = False
+        cfg.model.use_label_smooth = False
+        cfg.model.use_focal_loss = args.focal
+        cfg.train.optimizer = "adam"
+        cfg.train.lr_type = "cosine_decay"
+        cfg.train.learning_rate_init = args.lr
+        cfg.train.lr_lower_bound = args.lr / 50
+        cfg.train.use_warm_up = True
+        cfg.train.warm_up_epoch = 2
     cfg.train.update_part = None          # train the whole model
     cfg.train.restore_exclude = None
     cfg.train.train_evaluation_step = 0
@@ -130,6 +163,8 @@ def main(argv=None) -> int:
 
     summary = {
         "gate": "overfit_map",
+        "recipe": args.recipe,
+        "device_augment": args.device_augment,
         "preset": args.preset,
         "num_images": num_images,
         "img_size": size,
@@ -147,7 +182,9 @@ def main(argv=None) -> int:
         "checkpoint": ckpt_path,
         "loss_curve": curve,
     }
-    with open(os.path.join(out_dir, "overfit_result.json"), "w") as f:
+    name = ("overfit_result.json" if args.recipe == "adam"
+            else f"overfit_result_{args.recipe}.json")
+    with open(os.path.join(out_dir, name), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: v for k, v in summary.items() if k != "loss_curve"}))
     return 0 if summary["passed"] else 1
