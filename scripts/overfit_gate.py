@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    type=lambda v: v.lower() in ("1", "true"), default=False,
                    help="run the loader in device-augment mode (pixels on "
                         "the TPU, data/device_augment.py)")
+    p.add_argument("--device_encode",
+                   type=lambda v: v.lower() in ("1", "true"), default=False,
+                   help="also build the y_true grids on-device from padded "
+                        "GT boxes (data/device_encode.py)")
     return p
 
 
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
     cfg.data.img_size = (size, size)
     cfg.data.letterbox_resize = True
     cfg.data.device_augment = args.device_augment
+    cfg.data.device_encode = args.device_encode
     cfg.data.staged_size = size
     cfg.train.batch_size = args.batch_size
     cfg.train.total_epochs = epochs
@@ -165,6 +170,7 @@ def main(argv=None) -> int:
         "gate": "overfit_map",
         "recipe": args.recipe,
         "device_augment": args.device_augment,
+        "device_encode": args.device_encode,
         "preset": args.preset,
         "num_images": num_images,
         "img_size": size,

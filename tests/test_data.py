@@ -233,3 +233,40 @@ def test_parse_example_val_objectness(dataset):
                                      True, rng)
     assert img.shape == (128, 128, 3)
     assert sum(g[..., 4].sum() for g in y_true) == 1
+
+
+def test_crop_filters_labels_with_boxes():
+    """A crop that drops a box must drop its label too. The reference never
+    filters `labels` after bbox_crop drops rows (data_utils.py:152-155 +
+    data_aug.py:91), silently shifting every later box onto the wrong class;
+    random_crop_with_constraints(labels=...) fixes that."""
+    from yolov3_tensorflow_tpu.data.augment import (
+        crop_boxes, random_crop_with_constraints)
+
+    # box 0 centered far left, box 1 centered in the window
+    boxes = np.asarray([[0, 0, 10, 10, 1.0],
+                        [60, 60, 90, 90, 1.0]], np.float32)
+    labels = np.asarray([7, 2], np.int32)
+    out, keep = crop_boxes(boxes, (50, 50, 50, 50), return_mask=True)
+    assert keep.tolist() == [False, True]
+    assert labels[keep].tolist() == [2]
+
+    # the sampler propagates the same mask (forced single candidate window)
+    rng = np.random.default_rng(0)
+    nb, nl, crop = random_crop_with_constraints(
+        boxes, (100, 100), rng, constraints=[], labels=labels)
+    assert len(nb) == len(nl)
+
+    # randomized: box/label counts always stay aligned through the sampler
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = int(rng.integers(1, 12))
+        b = np.zeros((n, 5), np.float32)
+        b[:, 0] = rng.uniform(0, 180, n)
+        b[:, 1] = rng.uniform(0, 180, n)
+        b[:, 2] = b[:, 0] + rng.uniform(4, 60, n)
+        b[:, 3] = b[:, 1] + rng.uniform(4, 60, n)
+        lab = rng.integers(0, 5, n).astype(np.int32)
+        nb, nl, _ = random_crop_with_constraints(b, (220, 220), rng,
+                                                 labels=lab)
+        assert len(nb) == len(nl) > 0

@@ -76,6 +76,11 @@ class DataConfig:
     device_augment: bool = False
     staged_size: int = 512           # static [S, S] uint8 staging tile side;
                                      # size to the dataset's largest image
+    # device-resident y_true encoding: the host ships padded GT boxes
+    # (~2 KB/image) instead of dense label grids (~3.6 MB/image @416 COCO);
+    # the grids are scattered on-device inside the jitted train step
+    # (data/device_encode.py)
+    device_encode: bool = False
 
 
 @dataclass

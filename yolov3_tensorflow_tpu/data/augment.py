@@ -63,12 +63,17 @@ def mix_up(img1: np.ndarray, img2: np.ndarray, boxes1: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def crop_boxes(boxes: np.ndarray, crop: Tuple[int, int, int, int],
-               require_center_inside: bool = True) -> np.ndarray:
+               require_center_inside: bool = True,
+               return_mask: bool = False):
     """Clip boxes to a crop window (x, y, w, h) and translate to its origin.
 
     Drops boxes whose center falls outside (when required) or that collapse
     to zero area — reference data_aug.py:39-91 `bbox_crop` semantics with
-    allow_outside_center inverted into a positive flag.
+    allow_outside_center inverted into a positive flag. return_mask=True also
+    returns the keep mask so per-box side arrays (labels) can be filtered in
+    sync — the reference never does this and silently misaligns `labels`
+    with the surviving boxes whenever a crop drops one (data_utils.py:152-155
+    feeds the unfiltered labels to process_box); here that is fixed.
     """
     x0, y0, cw, ch = crop
     out = boxes.copy()
@@ -86,6 +91,8 @@ def crop_boxes(boxes: np.ndarray, crop: Tuple[int, int, int, int],
     out[:, 0:2] -= window[0:2]
     out[:, 2:4] -= window[0:2]
     keep &= (out[:, 0:2] < out[:, 2:4]).all(axis=1)
+    if return_mask:
+        return out[keep], keep
     return out[keep]
 
 
@@ -104,13 +111,17 @@ def random_crop_with_constraints(
         min_scale: float = 0.3, max_scale: float = 1.0,
         max_aspect_ratio: float = 2.0,
         constraints: Optional[Sequence[Tuple[Optional[float], Optional[float]]]] = None,
-        max_trial: int = 50) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
+        max_trial: int = 50, labels: Optional[np.ndarray] = None):
     """SSD-paper min/max-IoU constrained random crop sampler.
 
     Same sampling scheme as reference data_aug.py:123-217: for each IoU
     constraint, try up to `max_trial` windows and keep the first satisfying
     one as a candidate; then pick candidates at random until one retains at
-    least one box. Returns (cropped boxes, (x, y, w, h)).
+    least one box. Returns (cropped boxes, (x, y, w, h)) — or with `labels`
+    given, (cropped boxes, surviving labels, (x, y, w, h)): the labels are
+    filtered with the same keep mask, fixing the reference's silent
+    label-box misalignment after a dropping crop (see `crop_boxes`). The
+    PRNG stream is identical with or without `labels`.
     """
     if constraints is None:
         constraints = ((0.1, None), (0.3, None), (0.5, None), (0.7, None),
@@ -132,6 +143,8 @@ def random_crop_with_constraints(
             window = np.array([cx, cy, cx + cw, cy + ch], np.float64)
 
             if len(boxes) == 0:
+                if labels is not None:
+                    return boxes, labels, (cx, cy, cw, ch)
                 return boxes, (cx, cy, cw, ch)
             iou = _iou_one_vs_many(window, boxes)
             if lo <= iou.min() and iou.max() <= hi:
@@ -142,9 +155,14 @@ def random_crop_with_constraints(
     while order:
         pick = order.pop(int(rng.integers(0, len(order))))
         crop = candidates[pick]
-        new_boxes = crop_boxes(boxes, crop, require_center_inside=True)
+        new_boxes, keep = crop_boxes(boxes, crop, require_center_inside=True,
+                                     return_mask=True)
         if new_boxes.size:
+            if labels is not None:
+                return new_boxes, labels[keep], crop
             return new_boxes, crop
+    if labels is not None:
+        return boxes, labels, (0, 0, w, h)
     return boxes, (0, 0, w, h)
 
 

@@ -59,16 +59,24 @@ class Batch:
     staged2: np.ndarray = None     # [B, S, S, 3] uint8 BGR (mixup partners)
     params: dict = None            # device_augment.pack_plans arrays
     img_size: Tuple[int, int] = None   # (w, h) target for this batch
+    # device-encode mode (data.device_encode): y_true is None and the dense
+    # grids are scattered on-device from this padded GT instead
+    # (data/device_encode.py) — ~2 KB/image on the wire vs ~3.6 MB of grids
+    gt_boxes: np.ndarray = None    # [B, M, 5] xyxy + mixup weight
+    gt_labels: np.ndarray = None   # [B, M] int32
+    gt_mask: np.ndarray = None     # [B, M] bool
 
 
 def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
                   img_size: Tuple[int, int], anchors: np.ndarray,
                   mode: str, letterbox: bool, rng: np.random.Generator,
-                  use_color_distort: bool = True):
+                  use_color_distort: bool = True, emit_gt: bool = False):
     """Load + augment + encode one example (reference data_utils.py:118-176).
 
     `line` is a single annotation line, or a pair for mixup. img_size is
-    (width, height). Returns (img_idx, image, y_true_list).
+    (width, height). Returns (img_idx, image, y_true_list) — or
+    (img_idx, image, (boxes, labels)) raw post-augmentation ground truth
+    when emit_gt=True (device-encode mode: the grids are built on-device).
     """
     if isinstance(line, tuple):
         a1, a2 = parse_line(line[0]), parse_line(line[1])
@@ -96,7 +104,8 @@ def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
         if rng.uniform() > 0.5:
             img, boxes = augment.random_expand(img, boxes, rng, max_ratio=4)
         h, w = img.shape[:2]
-        boxes, crop = augment.random_crop_with_constraints(boxes, (w, h), rng)
+        boxes, labels, crop = augment.random_crop_with_constraints(
+            boxes, (w, h), rng, labels=labels)
         x0, y0, cw, ch = crop
         img = img[y0:y0 + ch, x0:x0 + cw]
         interp = int(rng.integers(0, 5))
@@ -110,6 +119,8 @@ def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
             letterbox=letterbox)
 
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    if emit_gt:
+        return img_idx, img, (boxes, labels)
     y_true = encode_labels(boxes, labels, img_size, num_classes, anchors)
     return img_idx, img, y_true
 
@@ -117,14 +128,16 @@ def parse_example(line: Union[str, Tuple[str, str]], num_classes: int,
 def plan_example(line: Union[str, Tuple[str, str]], num_classes: int,
                  img_size: Tuple[int, int], anchors: np.ndarray,
                  mode: str, letterbox: bool, rng: np.random.Generator,
-                 use_color_distort: bool = True, staged_size: int = 512):
+                 use_color_distort: bool = True, staged_size: int = 512,
+                 emit_gt: bool = False):
     """Device-augment twin of `parse_example`: decode + draw + box geometry
     on the host, pixels deferred to the device (data/device_augment.py).
 
     Consumes the PRNG stream in exactly `parse_example`'s order (shared
     sampler functions), so a fixed (seed, epoch, step, slot) key produces
     the same transform in both modes. Returns
-    (img_idx, ExamplePlan, y_true_list).
+    (img_idx, ExamplePlan, y_true_list) — or (img_idx, ExamplePlan,
+    (boxes, labels)) when emit_gt=True (device-encode mode).
     """
     from yolov3_tensorflow_tpu.data.device_augment import (ExamplePlan,
                                                            stage_image)
@@ -169,8 +182,8 @@ def plan_example(line: Union[str, Tuple[str, str]], num_classes: int,
             oh, ow, oy, ox = h, w, 0, 0
         boxes = boxes.copy()
         boxes[:, 0:4] += np.array([ox, oy, ox, oy], boxes.dtype)
-        boxes, (cx, cy, cw, ch) = augment.random_crop_with_constraints(
-            boxes, (ow, oh), rng)
+        boxes, labels, (cx, cy, cw, ch) = augment.random_crop_with_constraints(
+            boxes, (ow, oh), rng, labels=labels)
         interp = int(rng.integers(0, 5))
         boxes = augment.remap_boxes_resize(boxes, cw, ch, img_size[0],
                                            img_size[1], letterbox)
@@ -189,12 +202,14 @@ def plan_example(line: Union[str, Tuple[str, str]], num_classes: int,
     else:
         rw, rh, dw, dh = img_size[0], img_size[1], 0, 0
 
-    y_true = encode_labels(boxes, labels, img_size, num_classes, anchors)
     plan = ExamplePlan(
         staged=tile1, staged2=tile2, lam=lam, color=color,
         crop_x0=int(crop[0]), crop_y0=int(crop[1]), crop_w=int(crop[2]),
         crop_h=int(crop[3]), rw=rw, rh=rh, dw=dw, dh=dh, interp=interp,
         flip=fx)
+    if emit_gt:
+        return img_idx, plan, (boxes, labels)
+    y_true = encode_labels(boxes, labels, img_size, num_classes, anchors)
     return img_idx, plan, y_true
 
 
@@ -224,7 +239,8 @@ class DataLoader:
                  drop_remainder: bool = False,
                  shard_within_batch: Tuple[int, int] = (0, 1),
                  shard_batches: Tuple[int, int] = (0, 1),
-                 device_augment: bool = False, staged_size: int = 512):
+                 device_augment: bool = False, staged_size: int = 512,
+                 device_encode: bool = False, max_boxes: int = 64):
         """Multi-host sharding (SURVEY.md §2.3): `shard_within_batch=(i, P)`
         makes this process load only its 1/P slice of every global batch
         (training: every process sees the same step/plan/multi-scale schedule
@@ -250,6 +266,8 @@ class DataLoader:
         self.shard_batches = tuple(shard_batches)
         self.device_augment = device_augment
         self.staged_size = int(staged_size)
+        self.device_encode = device_encode
+        self.max_boxes = int(max_boxes)
         if self.shard_within_batch[1] > 1 \
                 and batch_size % self.shard_within_batch[1] != 0:
             raise ValueError(
@@ -319,15 +337,27 @@ class DataLoader:
                 return plan_example(line, self.num_classes, img_size,
                                     self.anchors, self.mode, self.letterbox,
                                     rng, self.use_color_distort,
-                                    self.staged_size)
+                                    self.staged_size,
+                                    emit_gt=self.device_encode)
             return parse_example(line, self.num_classes, img_size,
                                  self.anchors, self.mode, self.letterbox, rng,
-                                 self.use_color_distort)
+                                 self.use_color_distort,
+                                 emit_gt=self.device_encode)
 
         results = list(pool.map(work, enumerate(batch_lines, start=slot0)))
         ids = np.asarray([r[0] for r in results], np.int64)
-        y_true = tuple(
-            np.stack([r[2][s] for r in results]) for s in range(3))
+        if self.device_encode:
+            from yolov3_tensorflow_tpu.data.encoder import pad_ground_truth
+            y_true = None
+            padded = [pad_ground_truth(b, l, self.max_boxes)
+                      for _, _, (b, l) in results]
+            gt = {"gt_boxes": np.stack([p[0] for p in padded]),
+                  "gt_labels": np.stack([p[1] for p in padded]),
+                  "gt_mask": np.stack([p[2] for p in padded])}
+        else:
+            y_true = tuple(
+                np.stack([r[2][s] for r in results]) for s in range(3))
+            gt = {}
         if self.device_augment:
             from yolov3_tensorflow_tpu.data.device_augment import pack_plans
             plans = [r[1] for r in results]
@@ -339,10 +369,10 @@ class DataLoader:
             else:
                 staged2 = staged       # ignored when mixup is off
             return Batch(ids, None, y_true, staged=staged, staged2=staged2,
-                         params=pack_plans(plans), img_size=img_size)
+                         params=pack_plans(plans), img_size=img_size, **gt)
         images = np.stack([r[1] for r in results])
         return Batch(ids, images, y_true,  # type: ignore[arg-type]
-                     img_size=img_size)
+                     img_size=img_size, **gt)
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Iterate one epoch with background prefetching."""

@@ -31,7 +31,9 @@ from yolov3_tensorflow_tpu.train.trainer import make_train_step
 def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                        mesh: Mesh, axis_name: str = "data",
                        schedule: Callable = None,
-                       device_augment: bool = False) -> Callable:
+                       device_augment: bool = False,
+                       device_encode: bool = False,
+                       out_size=None) -> Callable:
     """Build the sharded train step.
 
     Call with (state, images, y_true) where `images`/`y_true` have a global
@@ -42,10 +44,16 @@ def make_dp_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     device_augment=True: `images` is the loader's (staged, staged2,
     aug_params) triple instead; the augmentation prologue runs sharded over
     the same data axis (every device augments only its batch rows).
+    device_encode=True: `y_true` is the padded (gt_boxes, gt_labels, gt_mask)
+    triple and the grids are scattered on-device per shard; with
+    device_augment also on, the STATIC `out_size` picks the resolution
+    (one compiled step per multi-scale bucket — trainer caches them).
     """
     step_fn = make_train_step(cfg, optimizer, axis_name=axis_name,
                               schedule=schedule,
-                              device_augment=device_augment)
+                              device_augment=device_augment,
+                              device_encode=device_encode,
+                              out_size=out_size)
 
     def wrapped(state, images, y_true):
         new_state, metrics = step_fn(state, images, y_true)

@@ -49,7 +49,9 @@ TrainState = Dict[str, Any]  # {"params", "batch_stats", "opt_state", "step"}
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
                     axis_name: Optional[str] = None,
                     schedule: Optional[Callable] = None,
-                    device_augment: bool = False) -> Callable:
+                    device_augment: bool = False,
+                    device_encode: bool = False,
+                    out_size: Optional[Tuple[int, int]] = None) -> Callable:
     """Build the pure train-step function (jit/shard_map-ready).
 
     state -> batch(images, y_true tuple) -> (new_state, metrics). When
@@ -64,10 +66,20 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
     (data/device_augment.py). The target resolution is recovered from the
     y_true shapes, so multi-scale buckets compile per size exactly as in the
     host-augment path.
+
+    device_encode=True changes the y_true argument to the loader's padded
+    `(gt_boxes, gt_labels, gt_mask)` triple; the dense grids are scattered
+    on-device as a second prologue (data/device_encode.py). The target
+    resolution then comes from the images — or, when device_augment is also
+    on (nothing in the batch carries it), from the STATIC `out_size` (w, h);
+    the Trainer keeps one compiled step per multi-scale bucket.
     """
     anchors = np.asarray(cfg.anchors, np.float32)
     m = cfg.model
     compute_dtype = jnp.dtype(m.compute_dtype)
+    if device_augment and device_encode and out_size is None:
+        raise ValueError("device_augment + device_encode needs a static "
+                         "out_size (nothing in the batch carries it)")
 
     def train_step(state: TrainState, images: jax.Array,
                    y_true: Tuple[jax.Array, ...]):
@@ -75,11 +87,21 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation,
             from yolov3_tensorflow_tpu.data.device_augment import \
                 augment_batch
             staged, staged2, aug = images
-            out_h = y_true[2].shape[1] * 8
-            out_w = y_true[2].shape[2] * 8
+            if device_encode:
+                out_w, out_h = out_size
+            else:
+                out_h = y_true[2].shape[1] * 8
+                out_w = y_true[2].shape[2] * 8
             images = augment_batch(staged, staged2, aug, (out_w, out_h),
                                    mixup=cfg.data.use_mix_up,
                                    distort=cfg.data.use_color_distort)
+        if device_encode:
+            from yolov3_tensorflow_tpu.data.device_encode import \
+                encode_labels_device
+            gt_boxes, gt_labels, gt_mask = y_true
+            y_true = tuple(encode_labels_device(
+                gt_boxes, gt_labels, gt_mask,
+                (images.shape[2], images.shape[1]), m.num_classes, anchors))
         img_size = (images.shape[1], images.shape[2])  # (h, w)
 
         def loss_fn(params):
@@ -196,23 +218,20 @@ class Trainer:
         if ndp > 1:
             # data-parallel training over a device mesh: sharded batches,
             # pmean gradients, cross-replica sync BN (SURVEY.md §2.3 plan)
-            from yolov3_tensorflow_tpu.parallel.data_parallel import (
-                make_dp_train_step)
             from yolov3_tensorflow_tpu.parallel.mesh import (make_data_mesh,
                                                              replicate)
             self._mesh = make_data_mesh(ndp)
-            self._train_step = make_dp_train_step(
-                self.cfg, self.optimizer, self._mesh, schedule=self.schedule,
-                device_augment=self.cfg.data.device_augment)
             state = replicate(self._mesh,
                               jax.tree_util.tree_map(jnp.asarray, state))
         else:
             self._mesh = None
-            self._train_step = jax.jit(
-                make_train_step(self.cfg, self.optimizer,
-                                schedule=self.schedule,
-                                device_augment=self.cfg.data.device_augment),
-                donate_argnums=(0,))
+        # device_augment + device_encode: nothing in the batch carries the
+        # multi-scale bucket resolution, so the step is compiled per size on
+        # first use (_get_train_step); otherwise one step serves all buckets
+        self._train_step_cache: Dict[Tuple[int, int], Callable] = {}
+        d = self.cfg.data
+        if not (d.device_augment and d.device_encode):
+            self._train_step = self._build_train_step(out_size=None)
         self._eval_step = make_eval_step(self.cfg)
         if self.cfg.data.device_augment:
             from yolov3_tensorflow_tpu.data.device_augment import \
@@ -230,6 +249,36 @@ class Trainer:
             self._augment_fn = _augment
         return state
 
+    def _build_train_step(self, out_size) -> Callable:
+        """One compiled train step (DP-sharded when a mesh is active)."""
+        d = self.cfg.data
+        if self._mesh is not None:
+            from yolov3_tensorflow_tpu.parallel.data_parallel import (
+                make_dp_train_step)
+            return make_dp_train_step(
+                self.cfg, self.optimizer, self._mesh, schedule=self.schedule,
+                device_augment=d.device_augment,
+                device_encode=d.device_encode, out_size=out_size)
+        return jax.jit(
+            make_train_step(self.cfg, self.optimizer, schedule=self.schedule,
+                            device_augment=d.device_augment,
+                            device_encode=d.device_encode,
+                            out_size=out_size),
+            donate_argnums=(0,))
+
+    def _get_train_step(self, img_size) -> Callable:
+        """The step for a batch's (w, h) bucket (cached per size in
+        device_augment + device_encode mode; a single step otherwise)."""
+        d = self.cfg.data
+        if not (d.device_augment and d.device_encode):
+            return self._train_step
+        key = tuple(img_size)
+        fn = self._train_step_cache.get(key)
+        if fn is None:
+            fn = self._build_train_step(out_size=key)
+            self._train_step_cache[key] = fn
+        return fn
+
     def _batch_images(self, batch) -> jax.Array:
         """Materialized images for a loader batch in either mode (device
         array in device-augment mode)."""
@@ -237,6 +286,22 @@ class Trainer:
             return jnp.asarray(batch.images)
         return self._augment_fn(batch.staged, batch.staged2,
                                 batch.params, tuple(batch.img_size))
+
+    def _batch_y_true(self, batch) -> Tuple[jax.Array, ...]:
+        """Materialized label grids for a loader batch in either mode
+        (scattered on-device in device-encode mode)."""
+        if batch.y_true is not None:
+            return tuple(jnp.asarray(y) for y in batch.y_true)
+        from yolov3_tensorflow_tpu.data.device_encode import (
+            encode_labels_device)
+        if not hasattr(self, "_encode_fn"):
+            self._encode_fn = jax.jit(
+                encode_labels_device, static_argnums=(3, 4))
+        return tuple(self._encode_fn(
+            jnp.asarray(batch.gt_boxes), jnp.asarray(batch.gt_labels),
+            jnp.asarray(batch.gt_mask), tuple(batch.img_size),
+            self.cfg.model.num_classes,
+            np.asarray(self.cfg.anchors, np.float32)))
 
     def _put_batch(self, array) -> jax.Array:
         """Host batch -> device(s): sharded over the mesh data axis when
@@ -338,9 +403,14 @@ class Trainer:
             else:
                 batch_arg = self._put_batch(batch.images)
                 batch_n = batch.images.shape[0]
-            state, metrics = self._train_step(
-                state, batch_arg,
-                tuple(self._put_batch(y) for y in batch.y_true))
+            if batch.y_true is None:   # device-encode mode: padded GT
+                y_arg = (self._put_batch(batch.gt_boxes),
+                         self._put_batch(batch.gt_labels),
+                         self._put_batch(batch.gt_mask))
+            else:
+                y_arg = tuple(self._put_batch(y) for y in batch.y_true)
+            state, metrics = self._get_train_step(batch.img_size)(
+                state, batch_arg, y_arg)
             step += 1
             pending.append((step, batch_n, metrics))
             eval_now = (cfg.train.train_evaluation_step and step > 0
@@ -351,11 +421,13 @@ class Trainer:
             if eval_now:
                 _, dets = self._eval_step(
                     state, self._batch_images(batch),
-                    tuple(jnp.asarray(y) for y in batch.y_true))
+                    self._batch_y_true(batch))
                 dets_np = jax.device_get(dets)  # one host round trip
                 recall, precision = evaluate_batch(
                     dets_np, batch.y_true, cfg.model.num_classes,
-                    cfg.eval.eval_threshold)
+                    cfg.eval.eval_threshold,
+                    gt=(None if batch.y_true is not None else
+                        (batch.gt_boxes, batch.gt_labels, batch.gt_mask)))
                 info = (f"Epoch: {epoch}, global_step: {step} | "
                         f"loss: total: {meters['total'].average:.2f}, "
                         f"xy: {meters['xy'].average:.2f}, "
@@ -492,7 +564,9 @@ class Trainer:
             prefetch=cfg.data.prefetch_buffer, seed=self.seed,
             shard_within_batch=(pi, pc),
             device_augment=cfg.data.device_augment,
-            staged_size=cfg.data.staged_size)
+            staged_size=cfg.data.staged_size,
+            device_encode=cfg.data.device_encode,
+            max_boxes=cfg.data.max_boxes_per_image)
         val_loader = DataLoader(
             cfg.data.val_file, cfg.model.num_classes, cfg.anchors,
             cfg.eval.batch_size, cfg.data.img_size, mode="val",
