@@ -44,10 +44,14 @@ def main(argv=None) -> int:
                             img_size=(416, 416))
     anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
 
-    def run(mode: str, threads: int, mixup: bool) -> float:
+    def run(mode: str, threads: int, mixup: bool,
+            device_augment: bool = False, device_encode: bool = False
+            ) -> float:
         loader = DataLoader(data["annotation_file"], 3, anchors, args.batch,
                             (416, 416), mode=mode, letterbox=(mode == "val"),
-                            num_threads=threads, use_mix_up=mixup)
+                            num_threads=threads, use_mix_up=mixup,
+                            device_augment=device_augment, staged_size=416,
+                            device_encode=device_encode)
         n = 0
         # epoch 0 warms the OS page cache; time the rest
         for b in loader.epoch(0):
@@ -55,7 +59,8 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         for ep in range(1, args.epochs + 1):
             for b in loader.epoch(ep):
-                n += b.images.shape[0]
+                n += (b.images if b.images is not None
+                      else b.staged).shape[0]
         return n / (time.perf_counter() - t0)
 
     print(f"host: {os.cpu_count()} cpus; dataset {args.images} x 416x416 "
@@ -64,8 +69,15 @@ def main(argv=None) -> int:
         r_train = run("train", threads, mixup=False)
         r_mix = run("train", threads, mixup=True)
         r_val = run("val", threads, mixup=False)
+        # device-resident data path: host does decode + parameter draws +
+        # (optionally) y_true encode only; pixels (and grids) move on-device
+        r_plan = run("train", threads, mixup=True, device_augment=True)
+        r_plan_enc = run("train", threads, mixup=True, device_augment=True,
+                         device_encode=True)
         print(f"threads {threads:3d}: train {r_train:7.1f} img/s | "
-              f"train+mixup {r_mix:7.1f} | val {r_val:7.1f}", flush=True)
+              f"train+mixup {r_mix:7.1f} | val {r_val:7.1f} | "
+              f"device-augment {r_plan:7.1f} | +device-encode "
+              f"{r_plan_enc:7.1f}", flush=True)
     return 0
 
 
