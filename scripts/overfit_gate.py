@@ -108,6 +108,18 @@ def main(argv=None) -> int:
         # piecewise boundaries scaled from its 100-epoch schedule ([30, 50]
         # -> 30%/50% of the run) and its 3-epoch warmup
         cfg.data.multi_scale_train = True
+        if size != 416:
+            # the reference's bucket grid {320..608} is absolute (sized for
+            # its 416 base); for other gate sizes use the proportional
+            # equivalent (0.77x..1.46x in 32px steps) so the bucket-switch
+            # interactions are still exercised at CPU-feasible resolutions
+            s32 = size // 32
+            xs = range(max(2, round(s32 * 10 / 13)),
+                       max(3, round(s32 * 19 / 13)) + 1)
+            cfg.data.multi_scale_sizes = tuple(x * 32 for x in xs)
+            # device-augment staging must fit the largest bucket
+            cfg.data.staged_size = max(size,
+                                       max(cfg.data.multi_scale_sizes))
         cfg.data.use_mix_up = True
         cfg.model.use_label_smooth = True
         cfg.model.use_focal_loss = True

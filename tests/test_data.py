@@ -270,3 +270,19 @@ def test_crop_filters_labels_with_boxes():
         nb, nl, _ = random_crop_with_constraints(b, (220, 220), rng,
                                                  labels=lab)
         assert len(nb) == len(nl) > 0
+
+
+def test_multi_scale_sizes_override():
+    from yolov3_tensorflow_tpu.data.loader import multi_scale_size
+
+    sizes = ((128, 128), (160, 160), (192, 192))
+    seen = set()
+    for step in range(0, 100, 10):
+        s = multi_scale_size(step, interval=10, seed=3, base_size=(160, 160),
+                             sizes=sizes)
+        assert s in sizes
+        seen.add(s)
+        # deterministic: same step bucket -> same size
+        assert s == multi_scale_size(step + 9, interval=10, seed=3,
+                                     base_size=(160, 160), sizes=sizes)
+    assert len(seen) > 1

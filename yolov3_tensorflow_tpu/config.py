@@ -67,6 +67,10 @@ class DataConfig:
     # augmentation strategies (args.py:63-66)
     multi_scale_train: bool = True
     multi_scale_interval: int = 10   # re-sample size every N batches
+    # override the multi-scale bucket set (square sizes, e.g. "128,160,192");
+    # None = the reference's absolute {320..608} grid (data_utils.py:196,
+    # sized for a 416 base)
+    multi_scale_sizes: Optional[Tuple] = None
     use_mix_up: bool = True
     use_color_distort: bool = True
     # fixed-shape padding of per-image ground truth (TPU needs static shapes)

@@ -23,7 +23,7 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence, Tuple, Union
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
 
 import cv2
 import numpy as np
@@ -38,12 +38,18 @@ MULTI_SCALE_SIZES: Tuple[Tuple[int, int], ...] = tuple(
 
 def multi_scale_size(step: int, interval: int = 10, seed: int = 0,
                      base_size: Tuple[int, int] = (416, 416),
-                     enabled: bool = True) -> Tuple[int, int]:
-    """Deterministic multi-scale schedule: one size per `interval` batches."""
+                     enabled: bool = True,
+                     sizes: Optional[Sequence[Tuple[int, int]]] = None
+                     ) -> Tuple[int, int]:
+    """Deterministic multi-scale schedule: one size per `interval` batches.
+
+    `sizes` overrides the bucket set (default: the reference's absolute
+    {320..608} grid, data_utils.py:196 — sized for a 416 base)."""
     if not enabled:
         return base_size
+    buckets = tuple(sizes) if sizes else MULTI_SCALE_SIZES
     rng = np.random.default_rng((seed, step // interval))
-    return MULTI_SCALE_SIZES[int(rng.integers(0, len(MULTI_SCALE_SIZES)))]
+    return buckets[int(rng.integers(0, len(buckets)))]
 
 
 @dataclass
@@ -240,7 +246,8 @@ class DataLoader:
                  shard_within_batch: Tuple[int, int] = (0, 1),
                  shard_batches: Tuple[int, int] = (0, 1),
                  device_augment: bool = False, staged_size: int = 512,
-                 device_encode: bool = False, max_boxes: int = 64):
+                 device_encode: bool = False, max_boxes: int = 64,
+                 multi_scale_sizes: Optional[Sequence] = None):
         """Multi-host sharding (SURVEY.md §2.3): `shard_within_batch=(i, P)`
         makes this process load only its 1/P slice of every global batch
         (training: every process sees the same step/plan/multi-scale schedule
@@ -256,6 +263,9 @@ class DataLoader:
         self.letterbox = letterbox
         self.multi_scale = multi_scale and mode == "train"
         self.multi_scale_interval = multi_scale_interval
+        self.multi_scale_sizes = (
+            tuple((int(s), int(s)) if np.isscalar(s) else tuple(s)
+                  for s in multi_scale_sizes) if multi_scale_sizes else None)
         self.use_mix_up = use_mix_up and mode == "train"
         self.use_color_distort = use_color_distort
         self.num_threads = num_threads
@@ -318,7 +328,7 @@ class DataLoader:
                     pool: ThreadPoolExecutor) -> Batch:
         img_size = multi_scale_size(
             step, self.multi_scale_interval, self.seed, self.img_size,
-            enabled=self.multi_scale)
+            enabled=self.multi_scale, sizes=self.multi_scale_sizes)
 
         # multi-host: this process materializes only its contiguous slice of
         # the global batch; PRNG slots stay GLOBAL row indices so augmentation

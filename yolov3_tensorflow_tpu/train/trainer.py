@@ -558,6 +558,7 @@ class Trainer:
             letterbox=cfg.data.letterbox_resize,
             multi_scale=cfg.data.multi_scale_train,
             multi_scale_interval=cfg.data.multi_scale_interval,
+            multi_scale_sizes=cfg.data.multi_scale_sizes,
             use_mix_up=cfg.data.use_mix_up,
             use_color_distort=cfg.data.use_color_distort,
             num_threads=cfg.data.num_threads,
