@@ -206,3 +206,46 @@ def test_device_augment_training_learns(tmp_path):
     assert np.isfinite(totals).all()
     first, last = np.mean(totals[:3]), np.mean(totals[-3:])
     assert last < first / 2, f"loss did not learn: {first:.1f} -> {last:.1f}"
+
+
+def test_fit_device_data_path(tmp_path):
+    """Trainer.fit end to end in device-augment + device-encode mode: loader
+    wiring, per-bucket step cache, in-train eval from the GT triple, and
+    checkpointing all work through the public entry point."""
+    from yolov3_tensorflow_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(str(tmp_path / "ds"), num_images=4, seed=2,
+                            img_size=(96, 96), max_shapes=2)
+    cfg = Config()
+    cfg.data.train_file = data["annotation_file"]
+    cfg.data.val_file = data["annotation_file"]
+    cfg.data.class_name_path = data["names_file"]
+    cfg.data.img_size = (96, 96)
+    cfg.data.multi_scale_train = False
+    cfg.data.use_mix_up = True
+    cfg.data.use_color_distort = True
+    cfg.data.device_augment = True
+    cfg.data.device_encode = True
+    cfg.data.staged_size = 96
+    cfg.data.num_threads = 2
+    cfg.train.batch_size = 4
+    cfg.train.total_epochs = 2
+    cfg.train.train_evaluation_step = 2   # exercises eval on a device batch
+    cfg.train.val_evaluation_epoch = 0
+    cfg.train.save_epoch = 2
+    cfg.train.optimizer = "adam"
+    cfg.train.lr_type = "fixed"
+    cfg.train.learning_rate_init = 1e-3
+    cfg.train.use_warm_up = False
+    cfg.train.update_part = None
+    cfg.train.restore_exclude = None
+    cfg.train.progress_log_path = ""
+    cfg.train.save_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    cfg.finalize()
+
+    trainer = Trainer(cfg, seed=0)
+    state = trainer.fit()
+    assert int(state["step"]) == 2
+    # the device-encode step cache was actually used (one 96x96 bucket)
+    assert list(trainer._train_step_cache) == [(96, 96)]
