@@ -17,8 +17,11 @@ ANCHORS = np.array([[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
                     [59, 119], [116, 90], [156, 198], [373, 326]], np.float32)
 
 
-def test_detect_image_cli_end_to_end(tmp_path):
-    """The full demo surface: names file -> ckpt -> CLI main() -> output jpg."""
+@pytest.mark.parametrize("mode", ["prefilter", "stem8"])
+def test_detect_image_cli_end_to_end(tmp_path, mode):
+    """The full demo surface: names file -> ckpt -> CLI main() -> output jpg.
+    stem8 also covers the int8-chained-stem serving mode incl. its
+    calibrate-on-the-input-image path."""
     names = tmp_path / "names.txt"
     names.write_text("a\nb\nc\n")
 
@@ -37,6 +40,7 @@ def test_detect_image_cli_end_to_end(tmp_path):
         img_path, "--restore_path", str(tmp_path / "ckpt" / "m"),
         "--class_name_path", str(names), "--new_size", "96", "96",
         "--score_thresh", "0.2", "--max_boxes", "5", "--output", out_path,
+        "--mode", mode,
     ])
     assert rc == 0
     assert os.path.exists(out_path)

@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nms_thresh", type=float, default=0.45)
     p.add_argument("--max_boxes", type=int, default=200)
     p.add_argument("--mode", type=str, default="prefilter",
-                   choices=["exact", "prefilter", "split", "packed"],
+                   choices=["exact", "prefilter", "split", "packed",
+                            "stem8"],
                    help="postprocess pipeline (ops.postprocess.build_detector)"
                         ": prefilter is exact at demo thresholds; packed is "
                         "the fastest serving path")
@@ -94,7 +95,10 @@ def main(argv=None) -> int:
         variables, anchors, num_classes,
         (args.new_size[1], args.new_size[0]),
         max_out=args.max_boxes, score_thresh=args.score_thresh,
-        iou_thresh=args.nms_thresh, mode=args.mode)
+        iou_thresh=args.nms_thresh, mode=args.mode,
+        # stem8 calibrates its int8 stem activation scales on the input
+        # image itself — the right choice for a single-image demo
+        calibration_images=(inp if args.mode == "stem8" else None))
 
     dets = detect(inp)
     boxes, scores, labels = detections_to_numpy(dets, 0)
