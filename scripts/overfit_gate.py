@@ -200,8 +200,10 @@ def main(argv=None) -> int:
         "checkpoint": ckpt_path,
         "loss_curve": curve,
     }
-    name = ("overfit_result.json" if args.recipe == "adam"
-            else f"overfit_result_{args.recipe}.json")
+    suffix = "" if args.recipe == "adam" else f"_{args.recipe}"
+    if args.device_augment or args.device_encode:
+        suffix += "_device"
+    name = f"overfit_result{suffix}.json"
     with open(os.path.join(out_dir, name), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: v for k, v in summary.items() if k != "loss_curve"}))

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     p.add_argument("--data", required=True, help="annotation txt")
     p.add_argument("--names", default="")
     p.add_argument("--img_size", type=int, default=416)
+    p.add_argument("--stem_upto", type=int, default=12,
+                   help="conv index boundary of the stem-int8 hybrid under "
+                        "test; MUST match the benched configuration "
+                        "(bench.py builds upto=12) so the accuracy claim is "
+                        "tied to the exact headline config — recorded in "
+                        "the output artifact")
     p.add_argument("--out", default="./data/overfit")
     args = p.parse_args(argv)
 
@@ -199,11 +205,12 @@ def main(argv=None) -> int:
 
     p_total, p_matched, p_score_dev = identity_vs_exact(exact_f, packed_f)
 
-    # ---- stem-int8 hybrid (bf16 with int8-chained conv_0..conv_8 — the
-    # round-3 bench headline path) vs exact: mAP + detection identity ----
+    # ---- stem-int8 hybrid (bf16 with the first --stem_upto convs
+    # int8-chained; bench.py headlines upto=12) vs exact: mAP + identity ----
     from yolov3_tensorflow_tpu.ops.quantize import (
         build_stem_int8_packed, yolov3_forward_stem_int8_packed)
-    hp = build_stem_int8_packed(variables, scales, num_classes, upto=9)
+    hp = build_stem_int8_packed(variables, scales, num_classes,
+                                upto=args.stem_upto)
 
     @jax.jit
     def stem8_f(images):
@@ -253,6 +260,7 @@ def main(argv=None) -> int:
         "packed_serving_identity": round(p_matched / max(p_total, 1), 4),
         "packed_serving_exact_dets": p_total,
         "packed_serving_max_score_dev": round(p_score_dev, 5),
+        "stem_int8_upto": args.stem_upto,
         "mAP_stem_int8": round(float(map_stem8["mAP"]), 4),
         "stem_int8_map_delta": round(
             float(map_bf16["mAP"] - map_stem8["mAP"]), 4),

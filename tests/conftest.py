@@ -14,6 +14,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_warn_stuck_timeout_seconds" not in flags:
+    # quiet the 20 s "may be stuck" rendezvous warning — on a 1-core host
+    # the 8 virtual devices run nearly serially, so late arrival at the
+    # first all-reduce is expected, not a hang
+    flags = (flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     # XLA CPU's in-process collectives abort the whole process when a
     # rendezvous takes >40 s; on a 1-core CI host the 8 virtual devices
