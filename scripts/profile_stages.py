@@ -82,14 +82,30 @@ def main() -> None:
         return yolov3_forward_folded(folded, im, compute_dtype=jnp.bfloat16)
 
     # ---- stage: forward only ----
+    # NB: the fetched scalar must touch ALL THREE feature maps — returning
+    # only fm[0][0,0,0,0] lets XLA dead-code-eliminate the stride-16/8 head
+    # branches entirely (measured: 51.6 vs 59+ ms/batch-128, a ~2/3-of-the-
+    # head underestimate that round 3 briefly reported as "forward only").
     @jax.jit
     def s_forward(im, fb):
         fm = fwd(im + fb * 0.0)
-        return fm[0][0, 0, 0, 0].astype(jnp.float32)
+        return sum(x[0, 0, 0, 0].astype(jnp.float32) for x in fm)
 
     t_fwd = measure(s_forward, images)
     print(f"forward only:            {t_fwd*1e3:8.2f} ms/batch "
           f"({b/t_fwd:7.1f} img/s)")
+
+    # ---- stage: packed serving forward (the bench path's forward) ----
+    packed = fpp.pack_serving_head(folded, num_classes)
+
+    @jax.jit
+    def s_forward_packed(im, fb):
+        fm = fpp.yolov3_forward_packed(packed, im + fb * 0.0)
+        return sum(x[0, 0, 0, 0].astype(jnp.float32) for x in fm)
+
+    t_fp = measure(s_forward_packed, images)
+    print(f"forward packed:          {t_fp*1e3:8.2f} ms/batch "
+          f"({b/t_fp:7.1f} img/s)")
 
     # ---- postprocess stages from precomputed fmaps ----
     fmaps = jax.jit(fwd)(images)
@@ -150,6 +166,8 @@ def main() -> None:
               f"({t/b*1e3:6.3f} ms/img)")
 
     # ---- layout probe: narrow vs wide channel copies, same bytes ----
+    # The full added array must be a jit OUTPUT, else XLA computes only the
+    # one fetched element (the first version of this probe read "43 TB/s").
     narrow = jax.device_put(jnp.zeros((b, img_h, img_w, 32), jnp.bfloat16))
     wide = jax.device_put(jnp.zeros((b, img_h // 2, img_w // 2, 128),
                                     jnp.bfloat16))
@@ -157,11 +175,15 @@ def main() -> None:
     @jax.jit
     def s_copy(x, fb):
         y = x + fb.astype(x.dtype)
-        return y[0, 0, 0, 0].astype(jnp.float32)
+        return y, y[0, 0, 0, 0].astype(jnp.float32)
+
+    def copy_once(x, fb):
+        y, fb = s_copy(x, fb)
+        return fb
 
     for name, t_ in (("narrow  [b,416,416,32]", narrow),
                      ("wide    [b,208,208,128]", wide)):
-        t = measure(s_copy, t_)
+        t = measure(copy_once, t_)
         gb = t_.size * 2 / 1e9
         print(f"copy {name}: {t*1e3:7.2f} ms  "
               f"({2*gb/t:6.0f} GB/s effective r+w)")
