@@ -47,8 +47,11 @@ def _rate_kernel(a_ref, b_ref, o_ref, *, reps):
 
     def body(i, acc):
         # acc feeds back into b via a scalar so iterations are order-forced
-        # and the dot cannot be CSE'd; the multiply is VPU noise.
-        s = (1.0 + acc[0, 0] * 0.0).astype(jnp.bfloat16)
+        # and the dot cannot be CSE'd; the multiply is VPU noise. The
+        # epsilon scale (not *0.0) defeats XLA/Mosaic algebraic folding,
+        # which turned a `*0.0` version of this chain into a constant and
+        # let the loop collapse (readings of 400%+ of peak).
+        s = (1.0 + acc[0, 0] * 1e-30).astype(jnp.bfloat16)
         return acc + jax.lax.dot(
             a_ref[:], b_ref[:] * s, preferred_element_type=jnp.float32)
 
@@ -80,57 +83,78 @@ def mxu_rate(m_total, k, n, reps=REPS):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_total, n), jnp.float32),
     )
-    g = jax.jit(lambda a, b: f(a, b)[0, 0])
-    np.asarray(g(a, b))          # compile + sync
 
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(g(a, b))
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
+    # chained differential (bench.py methodology): the ~26 ms tunnel RPC
+    # floor swamps a per-call block, so serialize iterations through a
+    # scalar and time the marginal cost
+    @jax.jit
+    def g(a, b, fb):
+        # fb*1e-30, not fb*0.0: the zero form gets algebraically folded,
+        # the chain breaks, and timings read dispatch rather than compute
+        return f(a, (b.astype(jnp.float32) * (1.0 + fb * 1e-30))
+                 .astype(b.dtype))[0, 0]
+
+    t = _measure_chained(lambda fb: g(a, b, fb))
     fl = 2.0 * m_total * k * n * reps
     return t, fl / t / 1e12
+
+
+def _measure_chained(step, n1=3, n2=13):
+    import jax.numpy as jnp
+    np.asarray(step(jnp.float32(0)))     # compile + sync
+
+    def run(n):
+        fb = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fb = step(fb)
+        np.asarray(fb)
+        return time.perf_counter() - t0
+
+    diffs = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(n2)
+        diffs.append((t2 - t1) / (n2 - n1))
+    return max(min(diffs), 1e-9)
 
 
 def _concat_kernel(x_ref, o_ref, *, taps, mt):
     import jax.numpy as jnp
     o_ref[:] = jnp.concatenate(
-        [x_ref[i:i + mt, :] for i in range(taps)], axis=1)
+        [x_ref[i:i + mt - 16, :] for i in range(taps)], axis=1)
 
 
 def concat_rate(m_total, c, taps=9):
-    """im2col patch build: taps sublane-shifted [MT, c] slices concatenated
-    along lanes. Returns seconds and effective GB/s of patch bytes written."""
+    """im2col patch build: taps sublane-shifted [MT-16, c] slices
+    concatenated along lanes (shifts stay inside the block — only the VMEM
+    op cost is being measured, not im2col numerics). Returns seconds and
+    effective GB/s of patch bytes written."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((m_total + taps, c)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((m_total, c)), jnp.bfloat16)
+    mo = MT - 16
 
     f = pl.pallas_call(
         functools.partial(_concat_kernel, taps=taps, mt=MT),
         grid=(m_total // MT,),
-        in_specs=[pl.BlockSpec((MT + taps, c), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((MT, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((MT, taps * c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((mo, taps * c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_total, taps * c), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((m_total // MT * mo, taps * c),
+                                       jnp.bfloat16),
     )
-    # NB: block index i over (MT+taps)-shaped blocks overlaps are wrong —
-    # accept the approximation (index stride MT+taps) since only the VMEM op
-    # cost is being measured, not numerics.
-    g = jax.jit(lambda x: f(x)[0, 0].astype(jnp.float32))
-    np.asarray(g(x))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(g(x))
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
-    return t, m_total * taps * c * 2 / t / 1e9
+    @jax.jit
+    def g(x, fb):
+        return f((x.astype(jnp.float32) * (1.0 + fb * 1e-30))
+                 .astype(x.dtype))[0, 0].astype(jnp.float32)
+
+    t = _measure_chained(lambda fb: g(x, fb))
+    return t, (m_total // MT) * mo * taps * c * 2 / t / 1e9
 
 
 def main():

@@ -165,6 +165,83 @@ def main() -> None:
         print(f"post {name:<20s} {t*1e3:8.2f} ms/batch "
               f"({t/b*1e3:6.3f} ms/img)")
 
+    # ---- packed-path postprocess breakdown (the bench path) ----
+    packed_outs = jax.jit(
+        lambda im: fpp.yolov3_forward_packed(packed, im))(images)
+    for x in packed_outs:
+        x.block_until_ready()
+    np.asarray(packed_outs[0][0, 0, 0, 0].astype(jnp.float32))
+    row = fpp.head_row_width(num_classes)
+
+    def packed_scores(po):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (row,), 0)
+        neg = jnp.asarray(-jnp.inf, po[0].dtype)
+        objs = []
+        for p_ in po:
+            bb, hg, wg, _ = p_.shape
+            pr = p_.reshape(bb, hg * wg * 3, row)
+            lane_max = jnp.max(jnp.where(lane < num_classes, pr, neg),
+                               axis=-1).astype(jnp.float32)
+            conf = pr[..., num_classes].astype(jnp.float32)
+            objs.append(jax.nn.sigmoid(conf) * jax.nn.sigmoid(lane_max))
+        return jnp.concatenate(objs, axis=1)
+
+    @jax.jit
+    def pp_score(po, fb):
+        po = tuple(x + fb.astype(x.dtype) for x in po)
+        return packed_scores(po)[0, 0]
+
+    @jax.jit
+    def pp_topk(po, fb):
+        po = tuple(x + fb.astype(x.dtype) for x in po)
+        _, idx = jax.lax.approx_max_k(packed_scores(po), 64,
+                                      recall_target=0.95)
+        return idx[0, 0].astype(jnp.float32)
+
+    def pp_full_of(max_out):
+        @jax.jit
+        def f(po, fb):
+            po = tuple(x + fb.astype(x.dtype) for x in po)
+            out = fpp.postprocess_packed(
+                po, anchors, num_classes, (img_h, img_w), max_out=max_out,
+                box_topk=64, score_thresh=0.3, iou_thresh=0.45,
+                approx_topk=True,
+                use_pallas=jax.default_backend() == "tpu")
+            return out["scores"][0, 0]
+        return f
+
+    @jax.jit
+    def pp_gather_decode(po, fb):
+        # everything up to (but excluding) the NMS kernel: score, approx
+        # top-k, candidate row gather, box decode
+        po = tuple(x + fb.astype(x.dtype) for x in po)
+        obj = packed_scores(po)
+        _, cand_idx = jax.lax.approx_max_k(obj, 64, recall_target=0.95)
+        rows = None
+        off = 0
+        for p_ in po:
+            bb, hg, wg, _ = p_.shape
+            na = hg * wg * 3
+            pr = p_.reshape(bb, na, row)
+            local = jnp.clip(cand_idx - off, 0, na - 1)
+            g = jnp.take_along_axis(pr, local[..., None], axis=1)
+            in_scale = ((cand_idx >= off) & (cand_idx < off + na))[..., None]
+            rows = g if rows is None else jnp.where(in_scale, g, rows)
+            off += na
+        box = rows[..., num_classes + 1:num_classes + 5].astype(jnp.float32)
+        conf = rows[..., num_classes].astype(jnp.float32)
+        return (jnp.sum(box[0, 0]) + conf[0, 0]
+                + cand_idx[0, 0].astype(jnp.float32))
+
+    for name, fn in (("packed score", pp_score),
+                     ("packed score+topk", pp_topk),
+                     ("packed +gather+decode", pp_gather_decode),
+                     ("packed full (max_out=128)", pp_full_of(128)),
+                     ("packed full (max_out=64)", pp_full_of(64))):
+        t = measure(fn, packed_outs)
+        print(f"post {name:<26s} {t*1e3:8.2f} ms/batch "
+              f"({t/b*1e3:6.3f} ms/img)")
+
     # ---- layout probe: narrow vs wide channel copies, same bytes ----
     # The full added array must be a jit OUTPUT, else XLA computes only the
     # one fetched element (the first version of this probe read "43 TB/s").

@@ -68,6 +68,21 @@ def test_folded_forward_matches_unfolded(variables):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(g1), atol=2e-3)
 
 
+def test_split_neck_matches_literal_dataflow(variables):
+    """The FPN-junction rewrite (layers.neck_split_folded: 1x1-conv-over-
+    concat split into two convs, lateral half computed pre-upsample) is an
+    exact reassociation of reference model.py:59-63,69-73 — all three
+    feature maps must match the literal upsample+concat dataflow."""
+    imgs = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    folded = fold_batch_norm(variables, dtype=jnp.float32)
+    lit = yolov3_forward_folded(folded, imgs, compute_dtype=jnp.float32,
+                                split_neck=False)
+    spl = yolov3_forward_folded(folded, imgs, compute_dtype=jnp.float32,
+                                split_neck=True)
+    for a, b in zip(lit, spl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_decode_feature_map_golden():
     """Decode math vs a hand-computed numpy oracle (model.py:82-137)."""
     rng = np.random.RandomState(0)

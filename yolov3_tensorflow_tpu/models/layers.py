@@ -142,6 +142,43 @@ def conv_folded_asym(x: jax.Array, p: Params, *,
     return leaky_relu(y).astype(compute_dtype)
 
 
+def neck_split_folded(inter: jax.Array, route: jax.Array, p_lat: Params,
+                      p_first: Params, *,
+                      compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """FPN junction with the upsample and concat materializations eliminated.
+
+    The reference neck (model.py:59-63,69-73) computes
+        conv_first(concat(upsample2x(conv_lat(inter)), route))
+    where conv_first (head conv_8 / conv_16) is 1x1. Two exact identities
+    rewrite this without ever materializing the upsampled tensor or the
+    concat in HBM:
+
+      1. conv1x1 over a channel concat == sum of two conv1x1 on the parts
+         (the K-dim contraction is split; the partial sums are added in
+         conv_first's fp32 accumulation domain).
+      2. a 1x1 conv commutes with nearest-neighbor upsampling, so the
+         concat's upsampled half is convolved at the LOW resolution and
+         the result broadcast-upsampled into conv_first_b's epilogue.
+
+    At 416^2 batch-128 this removes ~700 MB of HBM round trips per forward
+    (upsample buffers + concats at the 26^2 and 52^2 junctions) and runs
+    conv_first's upsampled half at 1/4 the pixels. Measured: -1.4 ms/batch
+    end-to-end (docs/BENCHMARKS.md).
+
+    `p_lat` is the folded lateral conv (head conv_7 / conv_15), `p_first`
+    the folded first post-concat conv (conv_8 / conv_16, both 1x1).
+    """
+    a = conv_folded(inter, p_lat, compute_dtype=compute_dtype)
+    ca = a.shape[-1]
+    w = p_first["w"].astype(compute_dtype)
+    ya = conv2d(a, w[:, :, :ca, :], compute_dtype=compute_dtype)
+    yb = conv2d(route.astype(compute_dtype), w[:, :, ca:, :],
+                compute_dtype=compute_dtype)
+    y = (upsample_nearest_2x(ya).astype(jnp.float32) + yb.astype(jnp.float32)
+         + p_first["b"].astype(jnp.float32))
+    return leaky_relu(y).astype(compute_dtype)
+
+
 def space_to_depth_2x(x: jax.Array) -> jax.Array:
     """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel block order is
     (py*2 + px)*C + c for pixel phase (py, px) within each 2x2 cell."""

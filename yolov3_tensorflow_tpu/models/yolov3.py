@@ -222,11 +222,26 @@ def _backbone_forward(conv_fn, x: jax.Array, *,
     return tuple(routes)
 
 
-def _head_forward(conv_fn, out_fn, routes: Sequence[jax.Array]
+def _head_forward(conv_fn, out_fn, routes: Sequence[jax.Array], *,
+                  neck_fn=None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """FPN neck + 3 heads (model.py:53-78). `conv_fn(idx, x)` is a BN conv,
-    `out_fn(idx, x)` a bias conv producing a raw feature map."""
+    `out_fn(idx, x)` a bias conv producing a raw feature map.
+
+    neck_fn, when given, replaces each upsample+concat+first-conv junction:
+    `neck_fn(lat_idx, first_idx, inter, route)` must return the output of
+    head conv `first_idx` (post BN/bias + activation) — see
+    layers.neck_split_folded for the materialization-free serving rewrite.
+    """
     route_1, route_2, route_3 = routes
+
+    def junction(lat_idx, first_idx, inter, route):
+        if neck_fn is not None:
+            return neck_fn(lat_idx, first_idx, inter, route)
+        x = conv_fn(lat_idx, inter)
+        x = upsample_nearest_2x(x)
+        x = jnp.concatenate([x, route.astype(x.dtype)], axis=-1)
+        return conv_fn(first_idx, x)
 
     x = route_3
     for i in range(5):
@@ -235,19 +250,15 @@ def _head_forward(conv_fn, out_fn, routes: Sequence[jax.Array]
     x = conv_fn(5, x)
     fmap_1 = out_fn(6, x)                       # stride 32
 
-    x = conv_fn(7, inter1)
-    x = upsample_nearest_2x(x)
-    x = jnp.concatenate([x, route_2.astype(x.dtype)], axis=-1)
-    for i in range(8, 13):
+    x = junction(7, 8, inter1, route_2)
+    for i in range(9, 13):
         x = conv_fn(i, x)
     inter2 = x
     x = conv_fn(13, x)
     fmap_2 = out_fn(14, x)                      # stride 16
 
-    x = conv_fn(15, inter2)
-    x = upsample_nearest_2x(x)
-    x = jnp.concatenate([x, route_1.astype(x.dtype)], axis=-1)
-    for i in range(16, 21):
+    x = junction(15, 16, inter2, route_1)
+    for i in range(17, 21):
         x = conv_fn(i, x)
     x = conv_fn(21, x)
     fmap_3 = out_fn(22, x)                      # stride 8
@@ -325,18 +336,32 @@ def fold_batch_norm(variables: Dict[str, Params],
 
 def yolov3_forward_folded(folded: Params, images: jax.Array, *,
                           compute_dtype: jnp.dtype = jnp.bfloat16,
-                          stem_s2d: bool = False,
+                          stem_s2d: bool = False, split_neck: bool = True,
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Inference forward with BN pre-folded (see `fold_batch_norm`).
 
     stem_s2d=True expects params rewritten by `space_to_depth_stem` and runs
     the first two convs in space-to-depth form (see that function's note) —
     numerically equivalent, much faster on the MXU.
+
+    split_neck=True (default) applies the exact FPN-junction rewrite of
+    layers.neck_split_folded (upsample/concat never materialize in HBM);
+    False keeps the literal reference dataflow for A/B comparison.
     """
 
     def bn_conv(scope: str, name: str, x: jax.Array, stride: int = 1):
         return conv_folded(x, folded[scope][name], stride=stride,
                            compute_dtype=compute_dtype)
+
+    neck_fn = None
+    if split_neck:
+        from yolov3_tensorflow_tpu.models.layers import neck_split_folded
+
+        def neck_fn(lat_idx, first_idx, inter, route):
+            return neck_split_folded(
+                inter, route, folded["head"][f"conv_{lat_idx}"],
+                folded["head"][f"conv_{first_idx}"],
+                compute_dtype=compute_dtype)
 
     x = images.astype(compute_dtype)
 
@@ -363,7 +388,7 @@ def yolov3_forward_folded(folded: Params, images: jax.Array, *,
         lambda i, x: bn_conv("head", f"conv_{i}", x),
         lambda i, x: conv_bias(x, folded["head"][f"conv_{i}"],
                                compute_dtype=compute_dtype),
-        routes)
+        routes, neck_fn=neck_fn)
 
 
 def space_to_depth_stem(folded: Params) -> Params:

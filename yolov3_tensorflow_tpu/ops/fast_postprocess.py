@@ -194,9 +194,12 @@ def apply_split_output_conv(p: dict, x: jax.Array, *,
 def _serving_body(folded: dict, images: jax.Array, out_fn, *,
                   compute_dtype, stem_s2d: bool):
     """Shared serving forward: folded backbone + head convs, custom output
-    conv application `out_fn(i, x)` for conv_6/conv_14/conv_22."""
+    conv application `out_fn(i, x)` for conv_6/conv_14/conv_22. FPN
+    junctions use the exact split-neck rewrite (layers.neck_split_folded):
+    no upsample/concat HBM materialization."""
     from yolov3_tensorflow_tpu.models.layers import (conv_folded,
                                                      conv_folded_asym,
+                                                     neck_split_folded,
                                                      space_to_depth_2x)
     from yolov3_tensorflow_tpu.models.yolov3 import (_backbone_forward,
                                                      _head_forward)
@@ -221,9 +224,16 @@ def _serving_body(folded: dict, images: jax.Array, out_fn, *,
         def backbone_conv(i, x, s):
             return bn_conv("backbone", f"conv_{i}", x, s)
 
+    def neck_fn(lat_idx, first_idx, inter, route):
+        return neck_split_folded(
+            inter, route, folded["head"][f"conv_{lat_idx}"],
+            folded["head"][f"conv_{first_idx}"],
+            compute_dtype=compute_dtype)
+
     routes = _backbone_forward(backbone_conv, x)
     return list(_head_forward(
-        lambda i, x: bn_conv("head", f"conv_{i}", x), out_fn, routes))
+        lambda i, x: bn_conv("head", f"conv_{i}", x), out_fn, routes,
+        neck_fn=neck_fn))
 
 
 def yolov3_forward_split(folded: dict, images: jax.Array, *,

@@ -468,7 +468,8 @@ def yolov3_forward_stem_int8_packed(hp: Params, images: jax.Array):
     hp = build_stem_int8_packed(...). Returns the yolov3_forward_packed
     contract (3 packed logit maps, strides 32/16/8).
     """
-    from yolov3_tensorflow_tpu.models.layers import conv_folded
+    from yolov3_tensorflow_tpu.models.layers import (conv_folded,
+                                                     neck_split_folded)
     from yolov3_tensorflow_tpu.models.yolov3 import _head_forward
     from yolov3_tensorflow_tpu.ops.fast_postprocess import (
         apply_packed_output_conv)
@@ -501,7 +502,10 @@ def yolov3_forward_stem_int8_packed(hp: Params, images: jax.Array):
     return list(_head_forward(
         lambda i, x: conv_folded(x, packed["head"][f"conv_{i}"]),
         lambda i, x: apply_packed_output_conv(packed["head"][f"conv_{i}"], x),
-        routes))
+        routes,
+        neck_fn=lambda li, fi, inter, route: neck_split_folded(
+            inter, route, packed["head"][f"conv_{li}"],
+            packed["head"][f"conv_{fi}"])))
 
 
 def build_detector_int8(variables: Params, anchors, num_classes: int,
