@@ -188,8 +188,9 @@ def main() -> None:
 
     @jax.jit
     def pp_score(po, fb):
+        # sum (not a single element) so XLA cannot DCE the score compute
         po = tuple(x + fb.astype(x.dtype) for x in po)
-        return packed_scores(po)[0, 0]
+        return jnp.sum(packed_scores(po))
 
     @jax.jit
     def pp_topk(po, fb):
