@@ -165,3 +165,57 @@ def test_l2_regularization_counts_all_kernels():
     # 0.5 * wd * (2*1 + 4*4); bias excluded
     np.testing.assert_allclose(float(l2_regularization(params, 0.1)),
                                0.5 * 0.1 * (2 + 16), rtol=1e-6)
+
+
+def test_grad_finite_under_wh_logit_overflow():
+    """A wh logit past exp's fp32 overflow point (~88.7) must not NaN the
+    gradient. The reference's formulation (exp-decode then re-log,
+    model.py:254-262) survives in the FORWARD via its clip but its VJP is
+    clip'(inf)=0 times exp'(t)=inf = NaN — the exact failure that aborted
+    the r4 reference-recipe gate at step 333 (loss finite, params NaN one
+    step later). The rebuilt loss takes log-space wh straight from the raw
+    logits and clamps decode's exp, so the grad stays finite."""
+    import jax
+
+    fmap, y_true, anchors, c, img_size = _make_case(3)
+    fmap = fmap.copy()
+    fmap[0, 1, 1, 2 + 0 * (5 + c)] = 95.0   # tw of anchor 0: exp -> inf
+    fmap[1, 2, 2, 3 + 1 * (5 + c)] = 120.0  # th of anchor 1
+
+    def total(f):
+        out = loss_scale(f, jnp.asarray(y_true), anchors, c, img_size,
+                         use_focal_loss=True, use_label_smooth=True)
+        return sum(out)
+
+    val, grad = jax.value_and_grad(total)(jnp.asarray(fmap))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_wh_loss_raw_logit_formulation_matches_exp_log():
+    """For sane logits the raw-logit wh term is the identical value the
+    reference's exp-then-log roundtrip produces (log(exp(t)) == t)."""
+    fmap, y_true, anchors, c, img_size = _make_case(4)
+    want = _reference_loss_scale(fmap.astype(np.float64),
+                                 y_true.astype(np.float64), anchors, c,
+                                 img_size, False, False)
+    got = loss_scale(jnp.asarray(fmap), jnp.asarray(y_true), anchors, c,
+                     img_size)
+    np.testing.assert_allclose(float(got[1]), want[1], rtol=2e-4)
+
+
+def test_old_exp_then_log_formulation_would_nan():
+    """Sharpness check for the regression above: the reference's literal
+    exp-then-re-log chain (what the loss used before round 4) really does
+    NaN its gradient at the same input, so the finite-grad assertion is a
+    real discriminator, not a tautology."""
+    import jax
+
+    def old_wh_term(t):
+        pred = jnp.exp(t)                      # unclamped, model.py:123-126
+        pred = jnp.where(pred == 0.0, 1.0, pred)
+        return jnp.sum(jnp.log(jnp.clip(pred, 1e-9, 1e9)))
+
+    g = jax.grad(old_wh_term)(jnp.asarray([0.5, 95.0], jnp.float32))
+    assert np.isfinite(np.asarray(g)[0])       # sane logit: clean grad
+    assert not np.isfinite(np.asarray(g)[1])   # overflowed logit: NaN grad

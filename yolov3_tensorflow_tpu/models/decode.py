@@ -52,7 +52,15 @@ def decode_feature_map(feature_map: jax.Array, anchors: jax.Array,
 
     centers = (jax.nn.sigmoid(box_xy) + xy_offset) * jnp.asarray(
         [ratio_w, ratio_h], jnp.float32)
-    sizes = jnp.exp(box_wh) * jnp.asarray(anchors, jnp.float32)
+    # exp clamp: a wh logit > 88.7 overflows exp to inf, and even a
+    # structurally-zero cotangent flowing back through the concat/slice pair
+    # evaluates 0 * exp'(t) = 0 * inf = NaN in the VJP, NaN-ing every grad
+    # while the loss still reads finite. min(t, 60) is behavior-neutral
+    # (e^60 ~ 1.1e26 px is beyond any representable box; the reference's
+    # unclamped tf.exp, model.py:123-126, is where its own NaN aborts come
+    # from) and keeps the backward finite.
+    sizes = jnp.exp(jnp.minimum(box_wh, 60.0)) * jnp.asarray(
+        anchors, jnp.float32)
 
     boxes = jnp.concatenate([centers, sizes], axis=-1)
     return xy_offset, boxes, conf_logits, prob_logits

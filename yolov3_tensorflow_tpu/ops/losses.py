@@ -101,13 +101,24 @@ def loss_scale(feature_map: jax.Array, y_true: jax.Array,
     true_xy = y_true[..., 0:2] / wh_ratio - xy_offset
     pred_xy = pred_boxes[..., 0:2] / wh_ratio - xy_offset
 
-    # log-space wh with the ==0 -> 1 substitution (model.py:254-262)
+    # log-space wh with the ==0 -> 1 substitution (model.py:254-262).
+    # Predicted side: the reference re-logs the exp-decoded size,
+    # log(clip(exp(t_wh)*a/a, 1e-9, 1e9)); algebraically that is exactly
+    # clip(t_wh, log 1e-9, log 1e9), so compute it straight from the raw
+    # logits. Going through exp first is not just redundant — once any wh
+    # logit exceeds 88.7, exp overflows to inf, the clip saves the FORWARD
+    # value (log 1e9) but its VJP is clip'(inf)=0 times exp'(t)=inf = NaN,
+    # which silently NaNs the whole gradient one step before the loss shows
+    # it (observed as the r4 reference-recipe gate abort at step 333: loss
+    # finite at 332, params NaN at 333 — same failure mode the reference's
+    # own NaN abort, train.py:163-166, papers over).
     true_tw_th = y_true[..., 2:4] / anchors
-    pred_tw_th = pred_boxes[..., 2:4] / anchors
     true_tw_th = jnp.where(true_tw_th == 0.0, 1.0, true_tw_th)
-    pred_tw_th = jnp.where(pred_tw_th == 0.0, 1.0, pred_tw_th)
     true_tw_th = jnp.log(jnp.clip(true_tw_th, 1e-9, 1e9))
-    pred_tw_th = jnp.log(jnp.clip(pred_tw_th, 1e-9, 1e9))
+    raw_wh = feature_map.reshape(
+        *y_true.shape[:4], 5 + num_classes)[..., 2:4].astype(jnp.float32)
+    log_bound = float(np.log(1e9))
+    pred_tw_th = jnp.clip(raw_wh, -log_bound, log_bound)
 
     # smaller boxes get bigger weight (model.py:267)
     box_loss_scale = 2.0 - (y_true[..., 2:3] / float(img_w)) * (
