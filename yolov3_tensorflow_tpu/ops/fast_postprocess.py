@@ -366,18 +366,40 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
                        max_out: int = 128, box_topk: int = 128,
                        score_thresh: float = 0.3, iou_thresh: float = 0.45,
                        approx_topk: bool = True,
-                       use_pallas: Optional[bool] = None
+                       use_pallas: Optional[bool] = None,
+                       pallas_interpret: bool = False,
+                       cell_major: bool = True,
+                       score_dtype=None
                        ) -> Dict[str, jax.Array]:
     """Batched detection from packed head outputs (`yolov3_forward_packed`).
 
     Same output contract as postprocess_split; candidate selection uses a
     class-lane-masked max (see the packed-head note above), final scores are
     exact. The fastest serving pipeline measured on v5e.
+
+    cell_major=True (default, round 5) never forms the per-anchor
+    [B, A, row] view (whose anchor index interleaves into the sublane
+    dimension — a relayout in the general case). Instead the conv outputs
+    are read in their native cell layout ([B, Hg*Wg, 3*row] is layout-free)
+    with each anchor block a lane-tile-aligned static slice; candidate rows
+    are fetched with cell-level gathers + anchor-block selects. Measured
+    END-TO-END NEUTRAL on v5e at batch 128 (1987.5 vs 1985.5 img/s —
+    XLA was already fusing the per-anchor relayout into cheap consumers),
+    kept as the default because it guarantees no relayout regardless of
+    fusion decisions and reads more bytes-honestly. The candidate order
+    (scale-major, then y, x, anchor) and all outputs are identical
+    (scripts/exp_postprocess.py, round-5 BENCHMARKS.md).
+
+    score_dtype: dtype for the objectness selection score (default fp32).
+    bf16 halves the top-k operand; final detection scores stay exact fp32
+    either way — only candidate *ranking* feels the rounding.
     """
     img_h, img_w = int(img_size[0]), int(img_size[1])
     anchors = np.asarray(anchors, np.float32)
     row = head_row_width(num_classes)
     c = num_classes
+    sdt = jnp.float32 if score_dtype is None else (
+        jnp.bfloat16 if score_dtype in ("bf16", jnp.bfloat16) else score_dtype)
 
     # class-lane mask: restrict the selection max to lanes [0, C) so conf/box
     # logits can never inflate a candidate's selection score (round-2 advisor)
@@ -389,17 +411,35 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
     for p in packed_outs:
         b, hg, wg, _ = p.shape
         na = hg * wg * 3
-        pr = p.reshape(b, na, row)                    # free reshape
-        lane_max = jnp.max(jnp.where(lane < c, pr, neg),
-                           axis=-1).astype(jnp.float32)
-        conf = pr[..., c].astype(jnp.float32)
-        objs.append(jax.nn.sigmoid(conf) * jax.nn.sigmoid(lane_max))
-        ops.append(pr)
+        if cell_major:
+            nc = hg * wg
+            # score straight off the 4D conv output: the [B,nc,3*row]
+            # reshape costs ~0.6 ms/batch-128 in the score fusion context
+            # (scripts/exp_score.py v0 1.43 vs v2 0.85 ms) even though the
+            # same reshape is free inside the einsum gather below — lane-
+            # aligned 4D slices sidestep the question entirely
+            obj_a = []
+            for a3 in range(3):
+                blk = p[..., a3 * row:(a3 + 1) * row]     # lane-aligned 4D
+                lane_max = jnp.max(jnp.where(lane < c, blk, neg),
+                                   axis=-1).astype(sdt)
+                conf = blk[..., c].astype(sdt)
+                obj_a.append(jax.nn.sigmoid(conf) * jax.nn.sigmoid(lane_max))
+            # anchor-minor stack == the global candidate order (y, x, anchor)
+            objs.append(jnp.stack(obj_a, axis=-1).reshape(b, na))
+            ops.append(p.reshape(b, nc, 3 * row))         # einsum operand
+        else:
+            pr = p.reshape(b, na, row)                # per-anchor relayout
+            lane_max = jnp.max(jnp.where(lane < c, pr, neg),
+                               axis=-1).astype(sdt)
+            conf = pr[..., c].astype(sdt)
+            objs.append(jax.nn.sigmoid(conf) * jax.nn.sigmoid(lane_max))
+            ops.append(pr)
         offsets.append(off)
         counts.append(na)
         off += na
     a = off
-    obj = jnp.concatenate(objs, axis=1)               # [B, A] fp32
+    obj = jnp.concatenate(objs, axis=1)               # [B, A]
     k_box = min(box_topk, a)
 
     if approx_topk:
@@ -407,12 +447,16 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
     else:
         _, cand_idx = jax.lax.top_k(obj, k_box)       # [B, K]
 
-    rows = None
-    for op, ofs, na in zip(ops, offsets, counts):
-        local = jnp.clip(cand_idx - ofs, 0, na - 1)
-        g = jnp.take_along_axis(op, local[..., None], axis=1)  # [B,K,row]
-        in_scale = ((cand_idx >= ofs) & (cand_idx < ofs + na))[..., None]
-        rows = g if rows is None else jnp.where(in_scale, g, rows)
+    if cell_major:
+        rows = _gather_cells_onehot(
+            ops, cand_idx, offsets, [na // 3 for na in counts], row)
+    else:
+        rows = None
+        for op, ofs, na in zip(ops, offsets, counts):
+            local = jnp.clip(cand_idx - ofs, 0, na - 1)
+            g = jnp.take_along_axis(op, local[..., None], axis=1)  # [B,K,row]
+            in_scale = ((cand_idx >= ofs) & (cand_idx < ofs + na))[..., None]
+            rows = g if rows is None else jnp.where(in_scale, g, rows)
 
     tx, ty, rw, rh, aw, ah = (jnp.asarray(t) for t in _decode_tables(
         img_h, img_w, tuple(anchors.reshape(-1).tolist())))
@@ -440,8 +484,8 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
     if use_pallas:
         from yolov3_tensorflow_tpu.ops.nms_pallas import (
             batched_nms_shared_pallas)
-        if k_box % 128:                 # pad to the NMS kernel's lane width
-            pad = 128 - k_box % 128
+        if k_box % 8:                 # pad to the NMS kernel's sublane unit
+            pad = 8 - k_box % 8
             boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
             # sentinel below any threshold so degenerate pad boxes can never
             # pass the validity test even at score_thresh <= 0
@@ -449,11 +493,41 @@ def postprocess_packed(packed_outs, anchors: np.ndarray, num_classes: int,
                              constant_values=-1.0)
         return batched_nms_shared_pallas(
             boxes, scores, max_out=max_out, score_thresh=score_thresh,
-            iou_thresh=iou_thresh)
+            iou_thresh=iou_thresh, interpret=pallas_interpret)
     from yolov3_tensorflow_tpu.ops.nms import batched_nms
     return batched_nms(boxes, scores, max_out=max_out,
                        pre_topk=k_box, score_thresh=score_thresh,
                        iou_thresh=iou_thresh)
+
+
+def _gather_cells_onehot(cell_ops: Sequence[jax.Array],
+                         cand_idx: jax.Array,
+                         offsets: Sequence[int],
+                         cells: Sequence[int],
+                         block: int) -> jax.Array:
+    """Candidate-row fetch as a one-hot MXU matmul instead of a row gather.
+
+    Same contract as `_gather_cells_per_scale`, different mechanism:
+    `take_along_axis` lowers to one DMA per gathered row (B*K*scales ~ 25k
+    independent ~768 B reads at the bench shape) and is LATENCY-bound —
+    measured 1.59 ms/batch-128 despite touching only ~56 MB. A one-hot
+    [B, K, ncells] x [B, ncells, 3*block] einsum instead streams the
+    operand at full HBM bandwidth through the MXU: measured 0.62 ms for
+    the identical result (scripts/exp_tail.py, round-5 BENCHMARKS.md).
+    Exactness: one-hot rows select a single product of 1.0 * value — no
+    rounding at any dtype, so gathered rows are bit-identical.
+    """
+    out = None
+    for op, off, nc in zip(cell_ops, offsets, cells):
+        local = jnp.clip(cand_idx - off, 0, nc * 3 - 1)
+        cell = local // 3
+        a_l = local % 3
+        onehot = jax.nn.one_hot(cell, nc, dtype=op.dtype)     # [B, K, nc]
+        g = jnp.einsum("bkn,bnd->bkd", onehot, op)            # [B,K,3*block]
+        g = _select_anchor_block(g, a_l, block, 3)            # [B,K,block]
+        in_scale = ((cand_idx >= off) & (cand_idx < off + nc * 3))[..., None]
+        out = g if out is None else jnp.where(in_scale, g, out)
+    return out
 
 
 def _select_anchor_block(rows: jax.Array, a_l: jax.Array, block: int,
@@ -566,8 +640,8 @@ def postprocess_split(split_outs, anchors: np.ndarray, num_classes: int,
     if use_pallas:
         from yolov3_tensorflow_tpu.ops.nms_pallas import (
             batched_nms_shared_pallas)
-        if k_box % 128:                 # pad to the NMS kernel's lane width
-            pad = 128 - k_box % 128
+        if k_box % 8:                 # pad to the NMS kernel's sublane unit
+            pad = 8 - k_box % 8
             boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
             # sentinel below any threshold so degenerate pad boxes can never
             # pass the validity test even at score_thresh <= 0

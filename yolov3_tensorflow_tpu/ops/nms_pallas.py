@@ -151,6 +151,12 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, act_ref, keep_ref,
     iou_t = thresh_ref[0]
     score_t = thresh_ref[1]
 
+    # one bulk zero-fill instead of a per-inactive-chunk store: the common
+    # trained-detector case is most chunks inactive, where the loop body
+    # used to pay a store + pipeline drain per (image, chunk) just to write
+    # zeros (round 5; measured as loop overhead dominating the kernel)
+    keep_ref[...] = jnp.zeros((ib, c, k), jnp.float32)
+
     rows_lt_cols = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
                     < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
 
@@ -175,11 +181,6 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, act_ref, keep_ref,
 
         def per_chunk(ch, _):
             active = act_ref[im, ch]
-
-            @pl.when(active == 0)
-            def _empty():
-                keep_ref[im, pl.ds(ch * chunk, chunk), :] = jnp.zeros(
-                    (chunk, k), jnp.float32)
 
             @pl.when(active != 0)
             def _suppress():
@@ -217,7 +218,13 @@ def _nms_shared_kernel(boxes_ref, scores_ref, thresh_ref, act_ref, keep_ref,
     jax.lax.fori_loop(0, ib, per_image, 0)
 
 
-_CLASS_CHUNK = 16  # class-chunk width for the shared kernel (vectorized rank build)
+import os as _os
+
+_CLASS_CHUNK = int(_os.environ.get("YOLOV3_TPU_NMS_CLASS_CHUNK", "16"))
+# class-chunk width for the shared kernel (vectorized rank build); the env
+# override exists for A/B sweeps (scripts/exp_postprocess.py). 16 measured
+# best end-to-end at the bench config (chunk 32 halves the serial loop count
+# but its [32, K, K] rank masks left the e2e number flat-to-worse).
 
 
 # Note on a rejected design: a "class-parallel" v3 kernel (one global
@@ -234,13 +241,18 @@ def nms_keep_mask_shared_pallas(boxes: jax.Array, scores: jax.Array,
     """All-class keep masks over a shared candidate set.
 
     boxes: [B, K, 4]; scores: [B, K, C] -> keep [B, C, K] bool.
-    K must be a multiple of 128; classes are padded to a multiple of
-    _CLASS_CHUNK (16) internally.
+    K must be a multiple of 8 (the sublane unit — see the check below);
+    classes are padded to a multiple of _CLASS_CHUNK (16) internally.
     """
     b, k, _ = boxes.shape
     c = scores.shape[2]
-    if k % 128 != 0:
-        raise ValueError(f"K must be a multiple of 128, got {k}")
+    if k % 8 != 0:
+        # K sits on the SUBLANE dimension of every [*, K, K] mask the kernel
+        # builds, so sublane granularity (8) is the real alignment unit;
+        # lane-dim K < 128 is padded internally by Mosaic. Running the bench
+        # config at its true K=64 instead of padding to 128 halves the
+        # rank-mask/fixpoint vector volume (round-5 BENCHMARKS.md).
+        raise ValueError(f"K must be a multiple of 8, got {k}")
     thresh = jnp.asarray([iou_thresh, score_thresh], jnp.float32)
     scores_ck = jnp.swapaxes(scores, 1, 2)                  # [B, C, K]
     c_pad = ((c + _CLASS_CHUNK - 1) // _CLASS_CHUNK) * _CLASS_CHUNK
