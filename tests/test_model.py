@@ -83,6 +83,70 @@ def test_split_neck_matches_literal_dataflow(variables):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_split_neck_training_matches_literal_dataflow(variables):
+    """The live-BN junction rewrite (layers.neck_split_bn_leaky) feeds BN the
+    identical pre-activation tensor, so train-mode feature maps, updated BN
+    moments AND gradients must match the literal upsample+concat dataflow."""
+    imgs = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3))
+
+    def run(split):
+        return yolov3_forward(variables, imgs, train=True,
+                              compute_dtype=jnp.float32, split_neck=split)
+
+    (lit, lit_stats), (spl, spl_stats) = run(False), run(True)
+    for a, b in zip(lit, spl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for name in ("conv_8", "conv_16"):   # the junction convs' live moments
+        np.testing.assert_allclose(
+            np.asarray(lit_stats["head"][name]["mean"]),
+            np.asarray(spl_stats["head"][name]["mean"]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(lit_stats["head"][name]["var"]),
+            np.asarray(spl_stats["head"][name]["var"]), atol=1e-5)
+
+    # Gradient identity, checked on the isolated junction in float64 (a
+    # full-model fp32 grad comparison is hopelessly ill-conditioned: the
+    # BN-train backward chain amplifies conv reassociation noise to percent
+    # level; the junction itself is exact — 1e-13 in fp64).
+    from yolov3_tensorflow_tpu.models.layers import (conv_bn_leaky,
+                                                     init_conv_bn,
+                                                     neck_split_bn_leaky,
+                                                     upsample_nearest_2x)
+    with jax.enable_x64(True):
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        p_lat, s_lat = init_conv_bn(ks[0], 1, 8, 4)
+        p_first, s_first = init_conv_bn(ks[1], 1, 12, 6)
+        to64 = lambda t: jax.tree.map(lambda a: a.astype(jnp.float64), t)
+        p_lat, p_first, s_lat, s_first = map(
+            to64, (p_lat, p_first, s_lat, s_first))
+        inter = jax.random.normal(ks[2], (2, 4, 4, 8), jnp.float64)
+        route = jax.random.normal(ks[3], (2, 8, 8, 8), jnp.float64)
+
+        def lit_loss(params):
+            pl, pf = params
+            x, _ = conv_bn_leaky(inter, pl, s_lat, train=True,
+                                 compute_dtype=jnp.float64)
+            x = upsample_nearest_2x(x)
+            x = jnp.concatenate([x, route], axis=-1)
+            y, _ = conv_bn_leaky(x, pf, s_first, train=True,
+                                 compute_dtype=jnp.float64)
+            return jnp.sum(jnp.square(y))
+
+        def spl_loss(params):
+            pl, pf = params
+            y, _, _ = neck_split_bn_leaky(
+                inter, route, pl, s_lat, pf, s_first, train=True,
+                compute_dtype=jnp.float64)
+            return jnp.sum(jnp.square(y))
+
+        params = (p_lat, p_first)
+        g_lit = jax.grad(lit_loss)(params)
+        g_spl = jax.grad(spl_loss)(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-10), g_lit, g_spl)
+
+
 def test_decode_feature_map_golden():
     """Decode math vs a hand-computed numpy oracle (model.py:82-137)."""
     rng = np.random.RandomState(0)

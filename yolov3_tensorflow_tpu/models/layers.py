@@ -192,6 +192,45 @@ def neck_split_folded(inter: jax.Array, route: jax.Array, p_lat: Params,
     return leaky_relu(y).astype(compute_dtype)
 
 
+def neck_split_bn_leaky(inter: jax.Array, route: jax.Array,
+                        p_lat: Params, s_lat: Params,
+                        p_first: Params, s_first: Params, *,
+                        train: bool, momentum: float = 0.99,
+                        eps: float = 1e-5,
+                        compute_dtype: jnp.dtype = jnp.bfloat16,
+                        axis_name: Optional[str] = None,
+                        ) -> Tuple[jax.Array, Params, Params]:
+    """Training-mode FPN junction with the same materialization-free rewrite
+    as `neck_split_folded`, but with live batch norm.
+
+    The reference junction (model.py:59-63,69-73) is
+        conv_first(concat(upsample2x(conv_lat(inter)), route))
+    with conv_first a 1x1 BN conv. Splitting conv_first's kernel over the
+    concat's channel halves and commuting the lateral half through the
+    nearest-neighbor upsample produces the IDENTICAL pre-BN tensor (modulo
+    fp32-accumulation reassociation), so the live BN — whose input is that
+    tensor — is untouched: batch moments, moving stats, and gradients all
+    match the literal dataflow. Neither the upsampled lateral tensor nor the
+    concat ever exists in HBM, in forward OR backward (the concat's
+    cotangent never materializes; the upsample VJP reduces at low res).
+
+    Returns (activations, new_lat_stats, new_first_stats).
+    """
+    lat, new_s_lat = conv_bn_leaky(
+        inter, p_lat, s_lat, stride=1, train=train, momentum=momentum,
+        eps=eps, compute_dtype=compute_dtype, axis_name=axis_name)
+    ca = lat.shape[-1]
+    w = p_first["w"].astype(compute_dtype)
+    ya = conv2d(lat, w[:, :, :ca, :], compute_dtype=compute_dtype)
+    yb = conv2d(route.astype(compute_dtype), w[:, :, ca:, :],
+                compute_dtype=compute_dtype)
+    y = upsample_nearest_2x(ya) + yb
+    y, new_s_first = batch_norm(y, p_first, s_first, train=train,
+                                momentum=momentum, eps=eps,
+                                axis_name=axis_name)
+    return leaky_relu(y).astype(compute_dtype), new_s_lat, new_s_first
+
+
 def space_to_depth_2x(x: jax.Array) -> jax.Array:
     """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel block order is
     (py*2 + px)*C + c for pixel phase (py, px) within each 2x2 cell."""

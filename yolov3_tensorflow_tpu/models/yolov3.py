@@ -270,6 +270,7 @@ def yolov3_forward(variables: Dict[str, Params], images: jax.Array, *,
                    compute_dtype: jnp.dtype = jnp.bfloat16,
                    bn_momentum: float = 0.99, bn_eps: float = 1e-5,
                    axis_name: Optional[str] = None,
+                   split_neck: bool = True,
                    ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array],
                               Dict[str, Params]]:
     """Full forward pass.
@@ -278,6 +279,12 @@ def yolov3_forward(variables: Dict[str, Params], images: jax.Array, *,
     Returns ((fmap_1, fmap_2, fmap_3), new_batch_stats) where fmap_i is
     [N, H/s, W/s, 3*(5+C)] fp32, s in (32, 16, 8) — same contract as
     reference model.py:30-80.
+
+    split_neck=True (default) applies the exact FPN-junction rewrite
+    (layers.neck_split_bn_leaky) to the live-BN path too: the pre-BN tensor
+    is identical, so training numerics are unchanged up to fp32-accumulation
+    reassociation, while the upsample/concat HBM materializations disappear
+    from both forward and backward.
     """
     params, stats = variables["params"], variables["batch_stats"]
     new_stats = {"backbone": {}, "head": {}}
@@ -290,6 +297,22 @@ def yolov3_forward(variables: Dict[str, Params], images: jax.Array, *,
         new_stats[scope][name] = s
         return y
 
+    neck_fn = None
+    if split_neck:
+        from yolov3_tensorflow_tpu.models.layers import neck_split_bn_leaky
+
+        def neck_fn(lat_idx, first_idx, inter, route):
+            lat_name, first_name = f"conv_{lat_idx}", f"conv_{first_idx}"
+            out, s_lat, s_first = neck_split_bn_leaky(
+                inter, route, params["head"][lat_name],
+                stats["head"][lat_name], params["head"][first_name],
+                stats["head"][first_name], train=train,
+                momentum=bn_momentum, eps=bn_eps,
+                compute_dtype=compute_dtype, axis_name=axis_name)
+            new_stats["head"][lat_name] = s_lat
+            new_stats["head"][first_name] = s_first
+            return out
+
     x = images.astype(compute_dtype)
     routes = _backbone_forward(
         lambda i, x, s: bn_conv("backbone", f"conv_{i}", x, s), x)
@@ -297,7 +320,7 @@ def yolov3_forward(variables: Dict[str, Params], images: jax.Array, *,
         lambda i, x: bn_conv("head", f"conv_{i}", x),
         lambda i, x: conv_bias(x, params["head"][f"conv_{i}"],
                                compute_dtype=compute_dtype),
-        routes)
+        routes, neck_fn=neck_fn)
     return fmaps, new_stats
 
 
