@@ -35,6 +35,7 @@ def make_sharded_detector(variables: Params, anchors: np.ndarray,
                           iou_thresh: float = 0.45,
                           approx_topk: bool = False,
                           use_pallas=None,
+                          pallas_interpret: bool = False,
                           axis_name: str = "data") -> Callable:
     """Jitted detector whose batch is sharded over `mesh`'s `axis_name`.
 
@@ -66,7 +67,7 @@ def make_sharded_detector(variables: Params, anchors: np.ndarray,
                 outs, anchors, num_classes, img_size, max_out=max_out,
                 box_topk=box_topk, score_thresh=score_thresh,
                 iou_thresh=iou_thresh, approx_topk=approx_topk,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret)
         fmaps = yolov3_forward_folded(folded, images,
                                       compute_dtype=jnp.bfloat16)
         return postprocess_prefilter(
