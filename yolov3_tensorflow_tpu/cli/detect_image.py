@@ -16,8 +16,10 @@ import numpy as np
 from yolov3_tensorflow_tpu.cli.common import (load_anchors, load_classes,
                                               load_variables, str2bool)
 from yolov3_tensorflow_tpu.data.augment import letterbox_resize
-from yolov3_tensorflow_tpu.ops.postprocess import (build_detector,
-                                                   detections_to_numpy)
+from yolov3_tensorflow_tpu.ops.postprocess import (build_auto_detector,
+                                                   build_detector,
+                                                   detections_to_numpy,
+                                                   select_serving_mode)
 from yolov3_tensorflow_tpu.utils.viz import get_color_table, plot_one_box
 
 
@@ -37,10 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_boxes", type=int, default=200)
     p.add_argument("--mode", type=str, default="prefilter",
                    choices=["exact", "prefilter", "split", "packed",
-                            "stem8"],
+                            "stem8", "int8", "auto"],
                    help="postprocess pipeline (ops.postprocess.build_detector)"
                         ": prefilter is exact at demo thresholds; packed is "
-                        "the fastest serving path")
+                        "the fastest exact serving path; auto picks the "
+                        "fastest measured mode for --new_size under the "
+                        "--quantize budget (never slower than bf16)")
+    p.add_argument("--quantize", type=str, default="hybrid",
+                   choices=["none", "hybrid", "full"],
+                   help="quantization budget for --mode auto "
+                        "(ops.postprocess.select_serving_mode)")
     p.add_argument("--output", type=str, default="detection_result.jpg")
     p.add_argument("--show", action="store_true")
     return p
@@ -91,14 +99,30 @@ def main(argv=None) -> int:
     inp, inv = preprocess(img_ori, args.new_size, args.letterbox_resize)
 
     variables = load_variables(args.restore_path, num_classes)
-    detect = build_detector(
-        variables, anchors, num_classes,
-        (args.new_size[1], args.new_size[0]),
-        max_out=args.max_boxes, score_thresh=args.score_thresh,
-        iou_thresh=args.nms_thresh, mode=args.mode,
-        # stem8 calibrates its int8 stem activation scales on the input
-        # image itself — the right choice for a single-image demo
-        calibration_images=(inp if args.mode == "stem8" else None))
+    img_size = (args.new_size[1], args.new_size[0])
+    common = dict(max_out=args.max_boxes, score_thresh=args.score_thresh,
+                  iou_thresh=args.nms_thresh)
+    if args.mode == "auto":
+        # the quantized modes calibrate their int8 activation scales on
+        # the input image itself — the right choice for a one-image demo
+        detect = build_auto_detector(
+            variables, anchors, num_classes, img_size,
+            quantize=args.quantize, calibration_images=inp, **common)
+    elif args.mode == "int8":
+        from yolov3_tensorflow_tpu.ops.quantize import build_detector_int8
+        if select_serving_mode(img_size, quantize="full") != "int8":
+            print(f"warning: full int8 is measured SLOWER than bf16 at "
+                  f"{img_size[0]}x{img_size[1]} (per-layer quant/dequant "
+                  f"HBM traffic; docs/BENCHMARKS.md) — consider "
+                  f"--mode auto", file=sys.stderr)
+        detect = build_detector_int8(
+            variables, anchors, num_classes, img_size,
+            calibration_images=inp, mode="packed", **common)
+    else:
+        detect = build_detector(
+            variables, anchors, num_classes, img_size, mode=args.mode,
+            calibration_images=(inp if args.mode == "stem8" else None),
+            **common)
 
     dets = detect(inp)
     boxes, scores, labels = detections_to_numpy(dets, 0)

