@@ -164,3 +164,50 @@ def test_sharded_detector_matches_single_device():
         # jitter (random-init scores are near-tied), dropping a stray
         # boundary candidate — require >= 99% reproduction
         assert found >= 0.99 * total, (mode, found, total)
+
+
+def test_sharded_detector_stem8_matches_single_device():
+    """The stem-int8 hybrid (the serving headline mode) deploys multi-chip:
+    sharded over the 8-device mesh it reproduces the single-device stem8
+    detector's confident detections (identical quantized params; pure data
+    parallelism)."""
+    from yolov3_tensorflow_tpu.config import DEFAULT_ANCHORS
+    from yolov3_tensorflow_tpu.ops.postprocess import build_detector
+    from yolov3_tensorflow_tpu.parallel.serving import make_sharded_detector
+
+    anchors = np.asarray(DEFAULT_ANCHORS, np.float32)
+    c = 4
+    variables = init_yolov3(jax.random.PRNGKey(3), num_classes=c)
+    mesh = make_data_mesh(8)
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32))
+
+    sharded = make_sharded_detector(
+        variables, anchors, c, (64, 64), mesh, mode="stem8",
+        calibration_images=images, box_topk=64, score_thresh=0.25,
+        use_pallas=False)
+    got = {k: np.asarray(v)
+           for k, v in sharded(shard_batch(mesh, images)).items()}
+
+    ref_fn = build_detector(
+        variables, anchors, c, (64, 64), mode="stem8",
+        calibration_images=images, max_out=128, box_topk=64,
+        score_thresh=0.25, use_pallas=False)
+    ref = {k: np.asarray(v) for k, v in ref_fn(images).items()}
+
+    found = total = 0
+    for i in range(8):
+        ve = ref["valid"][i].astype(bool)
+        va = got["valid"][i].astype(bool)
+        for bx, lb, sc in zip(ref["boxes"][i][ve], ref["labels"][i][ve],
+                              ref["scores"][i][ve]):
+            if sc < 0.27:
+                continue
+            total += 1
+            found += any(
+                got["labels"][i][va][j] == lb
+                and np.max(np.abs(got["boxes"][i][va][j] - bx)) < 1.0
+                and abs(got["scores"][i][va][j] - sc) < 5e-3
+                for j in range(int(va.sum())))
+    assert total > 0, "test net produced no confident detections"
+    assert found >= 0.99 * total, (found, total)

@@ -36,6 +36,8 @@ def make_sharded_detector(variables: Params, anchors: np.ndarray,
                           approx_topk: bool = False,
                           use_pallas=None,
                           pallas_interpret: bool = False,
+                          calibration_images=None,
+                          stem_int8_upto: int = 12,
                           axis_name: str = "data") -> Callable:
     """Jitted detector whose batch is sharded over `mesh`'s `axis_name`.
 
@@ -43,8 +45,11 @@ def make_sharded_detector(variables: Params, anchors: np.ndarray,
     {"boxes", "scores", "labels", "valid"} dict, every output batch-sharded
     the same way. Weights are closed over and replicated to every device.
 
-    mode: "packed" (fastest serving path) or "prefilter" (exact at demo
-    thresholds) — same semantics as ops.postprocess.build_detector.
+    mode: "packed" (fastest exact serving path), "prefilter" (exact at demo
+    thresholds) or "stem8" (the stem-int8 hybrid — the single-chip serving
+    headline, measured fastest accuracy-validated mode at every benched
+    resolution; needs `calibration_images` for its activation scales) —
+    same semantics as ops.postprocess.build_detector.
     """
     import jax.numpy as jnp
 
@@ -54,15 +59,28 @@ def make_sharded_detector(variables: Params, anchors: np.ndarray,
     from yolov3_tensorflow_tpu.models.yolov3 import yolov3_forward_folded
 
     anchors = np.asarray(anchors, np.float32)
-    folded = fold_batch_norm(variables, dtype=jnp.bfloat16)
-    if mode == "packed":
-        folded = pack_serving_head(folded, num_classes)
-    elif mode != "prefilter":
-        raise ValueError(f"unsupported sharded serving mode: {mode!r}")
+    if mode == "stem8":
+        from yolov3_tensorflow_tpu.ops.quantize import (
+            build_stem_int8_packed, calibrate_activation_scales,
+            yolov3_forward_stem_int8_packed)
+        if calibration_images is None:
+            raise ValueError("mode='stem8' needs calibration_images")
+        scales = calibrate_activation_scales(variables, calibration_images)
+        hybrid = build_stem_int8_packed(variables, scales, num_classes,
+                                        upto=stem_int8_upto)
+    else:
+        folded = fold_batch_norm(variables, dtype=jnp.bfloat16)
+        if mode == "packed":
+            folded = pack_serving_head(folded, num_classes)
+        elif mode != "prefilter":
+            raise ValueError(f"unsupported sharded serving mode: {mode!r}")
 
     def local(images: jax.Array) -> Dict[str, jax.Array]:
-        if mode == "packed":
-            outs = yolov3_forward_packed(folded, images)
+        if mode in ("packed", "stem8"):
+            if mode == "stem8":
+                outs = yolov3_forward_stem_int8_packed(hybrid, images)
+            else:
+                outs = yolov3_forward_packed(folded, images)
             return postprocess_packed(
                 outs, anchors, num_classes, img_size, max_out=max_out,
                 box_topk=box_topk, score_thresh=score_thresh,
