@@ -79,11 +79,13 @@ def analyze(label: str, out_dir: str) -> dict:
     @jax.jit
     def raw_scores(images):
         fmaps, _ = yolov3_forward(state, images, train=False)
+        # predict_boxes returns confs/probs ALREADY sigmoided
+        # (models/decode.py:80) — the same contract ops.postprocess relies
+        # on when it forms scores = confs * probs directly
         boxes, confs, probs = predict_boxes(
             fmaps, anchors, cfg.model.num_classes, (416, 416))
-        conf = jax.nn.sigmoid(confs[..., 0])
-        prob = jax.nn.sigmoid(probs)
-        best_prob = jnp.max(prob, axis=-1)
+        conf = confs[..., 0]
+        best_prob = jnp.max(probs, axis=-1)
         return conf, best_prob
 
     for batch in loader.epoch(0):
