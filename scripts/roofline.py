@@ -115,15 +115,41 @@ def walk(batch, img_h, img_w, num_classes=80):
     return rows
 
 
+def train_cost(rows):
+    """Map forward (flops, bytes) rows to training-step lower bounds.
+
+    Per conv layer the train step does 3 matmul-shaped passes (forward,
+    input-cotangent, weight-gradient), each the same FLOPs as forward;
+    optimistic byte count: forward reads X + writes Y; backward reads dY,
+    re-reads the saved X (weight grad), writes dX — 3*in + 2*out activation
+    traffic total, weights touched 3x per batch (fwd, dgrad, wgrad) plus a
+    gradient write. BN train-mode stat passes, the loss/ignore-mask block,
+    and the optimizer's elementwise sweeps are all EXCLUDED, so this bound
+    is generous to the hardware (a true ceiling).
+    """
+    out = []
+    for label, f, b in rows:
+        # recover in/out activation bytes from the fwd row: b ~= in + out
+        # (+ weights, negligible at batch scale). Training ~ (3*in + 2*out)
+        # <= 2.5x fwd activation bytes; use 2.5x as the optimistic midpoint.
+        out.append((label, 3.0 * f, 2.5 * b))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, nargs=2, default=[416, 416])
+    p.add_argument("--train", action="store_true",
+                   help="bound the TRAINING step (fwd+bwd) instead of "
+                        "inference")
     p.add_argument("--measured_ms", type=float, default=0.0,
                    help="measured ms/batch to compare against")
     args = p.parse_args(argv)
 
     rows = walk(args.batch, *args.size)
+    if args.train:
+        rows = train_cost(rows)
     tot_f = sum(r[1] for r in rows)
     tot_b = sum(r[2] for r in rows)
     t_flop = sum(r[1] / PEAK_FLOPS for r in rows)
